@@ -1,0 +1,308 @@
+"""Top-level column codec: any supported Arrow array ↔ one self-describing
+blob, bit-identical on round-trip.
+
+This is the engine's unit of work per (block × column) — the analogue of
+one reference compression stream (`/root/reference/src/pyppmd/__init__.py:
+126-155`), except the "stream" is a typed Arrow column and the codec is a
+cascade chosen per column (optionally pinned by the sampling selector).
+
+Type dispatch:
+- int / uint / timestamp / date / time → widen to int64 → constant | FOR |
+  delta | RLE (smallest wins);
+- float32/64 → byte-shuffle + rANS vs raw (smallest wins);
+- bool → bitpack;
+- string / binary (+large) → dictionary (low cardinality) or plain
+  offsets+data with raw | rANS | FSST | LZ byte stage;
+- list<primitive> → offsets (delta) + recursively encoded values;
+- nulls → validity bitmap blob + values encoded with nulls filled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import CodecError, pack_blob, register, read_uvarint, write_uvarint
+from .numeric import encode_int_auto, encode_raw
+from .rans import encode_rans0
+from .strings import (
+    StrCol,
+    dict_encode_strcol,
+    encode_sdict,
+    encode_strings,
+    strcol_from_arrow,
+    strcol_to_arrow,
+)
+
+# ---------------------------------------------------------- type registry
+
+_INT_TYPES = {
+    "i8": pa.int8(), "i16": pa.int16(), "i32": pa.int32(), "i64": pa.int64(),
+    "u8": pa.uint8(), "u16": pa.uint16(), "u32": pa.uint32(), "u64": pa.uint64(),
+}
+
+
+def type_to_str(t: pa.DataType) -> str:
+    if pa.types.is_string(t):
+        return "str"
+    if pa.types.is_large_string(t):
+        return "lstr"
+    if pa.types.is_binary(t):
+        return "bin"
+    if pa.types.is_large_binary(t):
+        return "lbin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_float64(t):
+        return "f64"
+    for name, it in _INT_TYPES.items():
+        if t.equals(it):
+            return name
+    if pa.types.is_timestamp(t):
+        return f"ts:{t.unit}:{t.tz or ''}"
+    if pa.types.is_date32(t):
+        return "date32"
+    if pa.types.is_date64(t):
+        return "date64"
+    if pa.types.is_list(t):
+        return "list<" + type_to_str(t.value_type) + ">"
+    if pa.types.is_large_list(t):
+        return "llist<" + type_to_str(t.value_type) + ">"
+    raise CodecError(f"unsupported column type {t}")
+
+
+def str_to_type(s: str) -> pa.DataType:
+    simple = {
+        "str": pa.string(), "lstr": pa.large_string(), "bin": pa.binary(),
+        "lbin": pa.large_binary(), "bool": pa.bool_(), "f32": pa.float32(),
+        "f64": pa.float64(), "date32": pa.date32(), "date64": pa.date64(),
+        **_INT_TYPES,
+    }
+    if s in simple:
+        return simple[s]
+    if s.startswith("ts:"):
+        _, unit, tz = s.split(":", 2)
+        return pa.timestamp(unit, tz=tz or None)
+    if s.startswith("list<") and s.endswith(">"):
+        return pa.list_(str_to_type(s[5:-1]))
+    if s.startswith("llist<") and s.endswith(">"):
+        return pa.large_list(str_to_type(s[6:-1]))
+    raise CodecError(f"unknown type string {s}")
+
+
+def _int_storage_view(arr: pa.Array) -> np.ndarray:
+    """int-family arrow array (no nulls) → int64 numpy."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        arr = arr.cast(pa.int32())
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+# ------------------------------------------------------------ sub-codecs
+
+def _encode_bshuf(raw_bytes: bytes, itemsize: int) -> bytes:
+    """Byte-shuffle (transpose) + entropy; wins on float columns."""
+    a = np.frombuffer(raw_bytes, dtype=np.uint8)
+    n = a.size // itemsize
+    t = a.reshape(n, itemsize).T.copy()
+    child = min(encode_raw(t.tobytes()), encode_rans0(t.tobytes()), key=len)
+    return pack_blob("bshuf", {"n": n, "w": itemsize}, child)
+
+
+def _decode_bshuf(meta: dict, payload: memoryview) -> bytes:
+    from .base import decode_blob
+
+    t = np.frombuffer(decode_blob(payload), dtype=np.uint8)
+    n, w = meta["n"], meta["w"]
+    return t.reshape(w, n).T.copy().tobytes()
+
+
+register(13, "bshuf", _decode_bshuf)
+
+
+# --------------------------------------------------------------- column
+
+def encode_column(arr: pa.Array | pa.ChunkedArray, hints: dict | None = None) -> bytes:
+    """Encode one Arrow column into a self-describing blob.
+
+    ``hints`` (from the sampling selector): {"layout": "sdict"|"strs",
+    "data_codec": one of strings.BYTE_CODECS} — pins choices to skip trials.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    hints = hints or {}
+    t = arr.type
+    n = len(arr)
+    tstr = type_to_str(t)
+    null_blob = b""
+    has_null = arr.null_count > 0
+    if has_null:
+        validity = np.asarray(pc.is_valid(arr))
+        null_blob = encode_raw(np.packbits(validity, bitorder="little").tobytes())
+        fill = _null_fill_value(t)
+        arr = pc.fill_null(arr, fill) if fill is not None else arr
+
+    child = _encode_values(arr, tstr, hints)
+    meta = {"t": tstr, "n": n, "nl": int(has_null)}
+    payload = (write_uvarint(len(null_blob)) + null_blob + child) if has_null else child
+    return pack_blob("column", meta, payload)
+
+
+def _null_fill_value(t: pa.DataType):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return None  # handled structurally (empty list via offsets)
+    if pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t):
+        return 0
+    return 0
+
+
+def _encode_values(arr: pa.Array, tstr: str, hints: dict) -> bytes:
+    t = arr.type
+    if tstr in ("str", "lstr", "bin", "lbin"):
+        col = strcol_from_arrow(arr)
+        return _encode_strcol(col, hints)
+    if tstr in _INT_TYPES or tstr.startswith("ts:") or tstr in ("date32", "date64"):
+        return encode_int_auto(_int_storage_view(arr))
+    if tstr in ("f32", "f64"):
+        v = arr.to_numpy(zero_copy_only=False)
+        raw = v.tobytes()
+        return min(encode_raw(raw), _encode_bshuf(raw, v.dtype.itemsize), key=len)
+    if tstr == "bool":
+        v = arr.to_numpy(zero_copy_only=False)
+        return pack_blob("boolp", {"n": len(arr)},
+                         encode_raw(np.packbits(v, bitorder="little").tobytes()))
+    if tstr.startswith("list<") or tstr.startswith("llist<"):
+        if arr.null_count > 0:
+            # nulls handled by caller's validity bitmap; fill with empty lists
+            arr = _fill_null_lists(arr)
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        start = int(offsets[0])
+        values = arr.values.slice(start, int(offsets[-1]) - start)
+        ob = encode_int_auto((offsets - start).astype(np.int64))
+        vb = encode_column(values, hints)
+        return pack_blob("plist", {"n": len(arr)}, write_uvarint(len(ob)) + ob + vb)
+    raise CodecError(f"cannot encode type {t}")
+
+
+def _fill_null_lists(arr: pa.Array) -> pa.Array:
+    mask = np.asarray(pc.is_null(arr))
+    lists = arr.to_pylist()
+    for i in np.flatnonzero(mask):
+        lists[int(i)] = []
+    return pa.array(lists, type=arr.type)
+
+
+def _encode_strcol(col: StrCol, hints: dict) -> bytes:
+    layout = hints.get("layout")
+    data_hint = hints.get("data_codec")
+    offsets, data = col
+    n = int(offsets.size) - 1
+    if layout == "sdict":
+        return encode_sdict(col, data_hint=data_hint)
+    if layout == "strs":
+        return encode_strings(col, data_hint=data_hint)
+    # heuristic: dictionary when cardinality is low
+    if n >= 8:
+        codes, (voff, vdata) = dict_encode_strcol(col)
+        distinct = voff.size - 1
+        if distinct <= max(1, n // 2):
+            return encode_sdict(col, data_hint=data_hint)
+    return encode_strings(col, data_hint=data_hint)
+
+
+def _decode_boolp(meta: dict, payload: memoryview):
+    from .base import decode_blob
+
+    packed = np.frombuffer(decode_blob(payload), dtype=np.uint8)
+    return np.unpackbits(packed, bitorder="little", count=meta["n"]).astype(bool)
+
+
+def _decode_plist(meta: dict, payload: memoryview):
+    from .base import decode_blob
+
+    olen, pos = read_uvarint(payload, 0)
+    offsets = np.asarray(decode_blob(payload[pos : pos + olen]), dtype=np.int64)
+    values = decode_blob(payload[pos + olen :])
+    return offsets, values  # values is a pa.Array (from the column codec)
+
+
+register(14, "boolp", _decode_boolp)
+register(15, "plist", _decode_plist)
+
+
+def _decode_column(meta: dict, payload: memoryview) -> pa.Array:
+    from .base import decode_blob
+
+    t = str_to_type(meta["t"])
+    n = meta["n"]
+    validity = None
+    if meta.get("nl"):
+        nlen, pos = read_uvarint(payload, 0)
+        packed = np.frombuffer(decode_blob(payload[pos : pos + nlen]), dtype=np.uint8)
+        validity = np.unpackbits(packed, bitorder="little", count=n).astype(bool)
+        payload = payload[pos + nlen :]
+
+    arr = _rebuild_values(t, meta["t"], n, payload)
+    if validity is not None:
+        arr = _apply_validity(arr, validity)
+    return arr
+
+
+def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> pa.Array:
+    from .base import decode_blob
+
+    if tstr in ("str", "lstr", "bin", "lbin"):
+        offsets, data = decode_blob(payload)
+        large = tstr in ("lstr", "lbin")
+        binary = tstr in ("bin", "lbin")
+        if binary:
+            typ = pa.large_binary() if large else pa.binary()
+            off = offsets if large else offsets.astype(np.int32)
+            return pa.Array.from_buffers(
+                typ, n, [None, pa.py_buffer(np.ascontiguousarray(off)), pa.py_buffer(data)]
+            )
+        return strcol_to_arrow((offsets, data), large=large)
+    if tstr in _INT_TYPES or tstr.startswith("ts:") or tstr in ("date32", "date64"):
+        vals = np.asarray(decode_blob(payload), dtype=np.int64)
+        if tstr.startswith("ts:") or tstr == "date64":
+            return pa.array(vals, type=pa.int64()).cast(t)
+        if tstr == "date32":
+            return pa.array(vals.astype(np.int32), type=pa.int32()).cast(t)
+        return pa.array(vals, type=pa.int64()).cast(t)
+    if tstr in ("f32", "f64"):
+        raw = decode_blob(payload)
+        dtype = np.float32 if tstr == "f32" else np.float64
+        return pa.array(np.frombuffer(raw, dtype=dtype), type=t)
+    if tstr == "bool":
+        return pa.array(decode_blob(payload), type=pa.bool_())
+    if tstr.startswith("list<") or tstr.startswith("llist<"):
+        offsets, values = decode_blob(payload)
+        large = tstr.startswith("llist<")
+        off_t = np.int64 if large else np.int32
+        typ = pa.large_list(values.type) if large else pa.list_(values.type)
+        return pa.Array.from_buffers(
+            typ, n,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets.astype(off_t)))],
+            children=[values],
+        )
+    raise CodecError(f"cannot decode type {tstr}")
+
+
+def _apply_validity(arr: pa.Array, validity: np.ndarray) -> pa.Array:
+    # take with a null index yields null — works uniformly for nested types
+    idx = pa.array(np.arange(len(arr), dtype=np.int64), mask=~validity)
+    return arr.take(idx)
+
+
+register(16, "column", _decode_column)

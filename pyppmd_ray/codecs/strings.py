@@ -1,0 +1,146 @@
+"""String-column codecs: plain (offsets+data) and dictionary.
+
+In-memory representation shared with the column layer: a string column is
+``(offsets: np.int64 array of n+1, data: bytes)`` — exactly Arrow's layout,
+extracted zero-copy from ``pa.Array`` buffers.
+
+- ``strs``: offsets → best int codec (delta wins on monotone offsets),
+  data bytes → best of raw / rans0 / fsst / lz chosen by the caller
+  (the sampling selector) or by trial here.
+- ``sdict``: dictionary-encode values (codes → int codec cascade, distinct
+  values → a nested ``strs`` blob). Wins on low-cardinality columns
+  (``lang``, ``repo``, ``commit``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import CodecError, pack_blob, register, read_uvarint, write_uvarint
+from .fsst import encode_fsst
+from .lz import encode_lz
+from .numeric import encode_int_auto, encode_raw
+from .rans import encode_rans0
+
+StrCol = tuple[np.ndarray, bytes]
+
+BYTE_CODECS = ("raw", "rans0", "fsst", "lz")
+
+
+def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
+                      sample_hint: str | None = None) -> bytes:
+    """Pick the smallest byte-stream codec; ``sample_hint`` pins one codec
+    (the per-partition selector's decision) to skip per-block trials."""
+    if sample_hint is not None:
+        allowed = (sample_hint,)
+    enc = {
+        "raw": encode_raw,
+        "rans0": encode_rans0,
+        "fsst": encode_fsst,
+        "lz": encode_lz,
+    }
+    if len(data) < 64:
+        allowed = ("raw",)
+    blobs = [enc[name](data) for name in allowed]
+    return min(blobs, key=len)
+
+
+def encode_strings(col: StrCol, data_hint: str | None = None) -> bytes:
+    offsets, data = col
+    ob = encode_int_auto(np.ascontiguousarray(offsets, dtype=np.int64))
+    db = encode_bytes_auto(bytes(data), sample_hint=data_hint)
+    payload = write_uvarint(len(ob)) + ob + db
+    return pack_blob("strs", {"n": int(offsets.size) - 1}, payload)
+
+
+def _decode_strings(meta: dict, payload: memoryview) -> StrCol:
+    from .base import decode_blob
+
+    olen, pos = read_uvarint(payload, 0)
+    offsets = np.asarray(decode_blob(payload[pos : pos + olen]), dtype=np.int64)
+    data = decode_blob(payload[pos + olen :])
+    if offsets.size != meta["n"] + 1:
+        raise CodecError("strs offsets mismatch")
+    return offsets, data
+
+
+def strcol_from_arrow(arr) -> StrCol:
+    """Zero-copy-ish (offsets, data) from a pa.(Large)String/Binary array.
+
+    Offsets are rebased to 0 (sliced arrays); nulls must be filled upstream.
+    """
+    import pyarrow as pa
+
+    t = arr.type
+    bufs = arr.buffers()
+    n = len(arr)
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    else:
+        off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1].astype(
+            np.int64
+        )
+    start = int(off[0])
+    end = int(off[-1])
+    off = (off - start).astype(np.int64)
+    data = bytes(memoryview(bufs[2])[start:end]) if bufs[2] is not None and end > start else b""
+    return off, data
+
+
+def strcol_to_arrow(col: StrCol, large: bool = True):
+    import pyarrow as pa
+
+    offsets, data = col
+    n = int(offsets.size) - 1
+    if large:
+        return pa.Array.from_buffers(
+            pa.large_string(),
+            n,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)), pa.py_buffer(data)],
+        )
+    return pa.Array.from_buffers(
+        pa.string(),
+        n,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets).astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def dict_encode_strcol(col: StrCol) -> tuple[np.ndarray, StrCol]:
+    """(codes, distinct StrCol) via Arrow's dictionary_encode kernel."""
+    arr = strcol_to_arrow(col)
+    d = arr.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, strcol_from_arrow(d.dictionary)
+
+
+def encode_sdict(col: StrCol, data_hint: str | None = None) -> bytes:
+    codes, (voff, vdata) = dict_encode_strcol(col)
+    cb = encode_int_auto(codes)
+    vb = encode_strings((voff, vdata), data_hint=data_hint)
+    payload = write_uvarint(len(cb)) + cb + vb
+    return pack_blob("sdict", {"n": int(codes.size)}, payload)
+
+
+def _decode_sdict(meta: dict, payload: memoryview) -> StrCol:
+    from .base import decode_blob
+
+    clen, pos = read_uvarint(payload, 0)
+    codes = np.asarray(decode_blob(payload[pos : pos + clen]), dtype=np.int64)
+    voff, vdata = decode_blob(payload[pos + clen :])
+    lens = np.diff(voff)
+    out_lens = lens[codes]
+    out_off = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int64)
+    total = int(out_off[-1])
+    src = np.frombuffer(vdata, dtype=np.uint8)
+    out = np.empty(total, dtype=np.uint8)
+    # gather value bytes per row: vectorized index construction
+    if total:
+        starts = voff[:-1][codes]                       # per-row source start
+        row_of_byte = np.repeat(np.arange(codes.size), out_lens)
+        within = np.arange(total) - np.repeat(out_off[:-1], out_lens)
+        out[:] = src[starts[row_of_byte] + within]
+    return out_off, out.tobytes()
+
+
+register(11, "strs", _decode_strings)
+register(12, "sdict", _decode_sdict)

@@ -1,0 +1,68 @@
+"""High-level API parity tests, modeled on the reference's
+`tests/test_highlevel_api.py` and the chunking tests in
+`tests/test_ppmd7.py:23-53` (split points leave no trace in the decoded
+output) and the sha256 corpus round-trip (`tests/test_ppmd7.py:56-92`)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+import pyppmd_ray as ppr
+
+SENTENCE = "This file is located in a folder.This file is located in the root."
+
+
+@pytest.mark.parametrize("codec", ["lz", "rans0", "fsst", "raw"])
+def test_oneshot_roundtrip(codec):
+    data = (SENTENCE * 50).encode()
+    assert ppr.decompress(ppr.compress(data, codec=codec)) == data
+
+
+def test_str_roundtrip():
+    assert ppr.decompress_str(ppr.compress(SENTENCE)) == SENTENCE
+    assert ppr.decompress_str(ppr.compress_str("héllo ✓ 🎈")) == "héllo ✓ 🎈"
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(ppr.CodecError):
+        ppr.compress(b"x", codec="nope")
+
+
+def test_streaming_chunked_roundtrip():
+    # translation of the reference's 16 KB block loop w/ checksum,
+    # tests/test_ppmd7.py:56-92
+    data = (SENTENCE * 2000).encode()
+    comp = ppr.BlockCompressor(codec="lz", block_size=16 << 10)
+    out = bytearray()
+    for i in range(0, len(data), 1000):
+        out += comp.compress(data[i : i + 1000])
+    out += comp.flush()
+    assert comp.eof
+    dec = ppr.BlockDecompressor()
+    recon = bytearray()
+    for i in range(0, len(out), 777):  # arbitrary decode-side split points
+        recon += dec.decompress(bytes(out[i : i + 777]))
+    assert hashlib.sha256(recon).hexdigest() == hashlib.sha256(data).hexdigest()
+    assert not dec.needs_input and dec.unused_data == b""
+
+
+def test_stream_split_points_do_not_change_output():
+    data = (SENTENCE * 300).encode()
+
+    def run(chunks):
+        c = ppr.BlockCompressor(codec="rans0", block_size=4096)
+        out = b"".join(c.compress(ch) for ch in chunks) + c.flush()
+        return out
+
+    a = run([data])
+    b = run([data[:33], data[33:1000], data[1000:]])
+    assert a == b  # block framing is deterministic, split-invariant
+
+
+def test_flush_twice_raises():
+    c = ppr.BlockCompressor()
+    c.flush()
+    with pytest.raises(ppr.CodecError):
+        c.flush()

@@ -1,0 +1,178 @@
+"""Codec-level round-trip tests.
+
+Model: the reference's golden-vector + round-trip strategy
+(`/root/reference/tests/test_ppmd7.py:10-92` — fixed tiny inputs plus a
+checksummed corpus round-trip), applied per engine codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyppmd_ray.codecs import decode_blob
+from pyppmd_ray.codecs.numeric import (
+    encode_constant,
+    encode_delta,
+    encode_for,
+    encode_int_auto,
+    encode_raw,
+    encode_rle,
+    pack_uints,
+    unpack_uints,
+)
+from pyppmd_ray.codecs.rans import encode_rans0, normalize_freqs, M
+from pyppmd_ray.codecs.fsst import encode_fsst, train_table
+from pyppmd_ray.codecs.lz import encode_lz, pack_varbits, unpack_varbits
+
+# the reference's golden sentence, tests/test_ppmd7.py:10
+SENTENCE = b"This file is located in a folder.This file is located in the root."
+
+CODE_SAMPLE = (
+    b"def encode(self, data):\n    out = []\n    for b in data:\n"
+    b"        out.append(self.table[b])\n    return b''.join(out)\n" * 50
+)
+
+
+def rt_int(arr, enc):
+    blob = enc(arr)
+    out = np.asarray(decode_blob(blob))
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+    return blob
+
+
+class TestBitpack:
+    @pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 33, 63, 64])
+    def test_roundtrip(self, width):
+        rng = np.random.default_rng(42)
+        if width == 0:
+            arr = np.zeros(17, dtype=np.uint64)
+        elif width == 64:
+            arr = rng.integers(0, 1 << 63, 100, dtype=np.uint64) * 2 + 1
+        else:
+            arr = rng.integers(0, 1 << width, 100, dtype=np.uint64)
+        out = unpack_uints(pack_uints(arr, width), arr.size, width)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_varbits(self):
+        vals = np.array([0, 1, 5, 1000, 0, 7], dtype=np.int64)
+        widths = np.array([0, 1, 3, 10, 2, 3], dtype=np.int64)
+        out = unpack_varbits(pack_varbits(vals, widths), widths)
+        np.testing.assert_array_equal(out.astype(np.int64), vals)
+
+
+class TestIntCodecs:
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([5, 5, 5, 5], dtype=np.int64),
+        np.arange(1000, dtype=np.int64),
+        np.array([3, -1, 10**18, -(10**18), 0], dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64),
+        np.random.default_rng(1).integers(-100, 100, 5000).astype(np.int64),
+        np.repeat(np.array([1, 9, 1, 4], dtype=np.int64), [100, 1, 50, 3]),
+    ]
+
+    @pytest.mark.parametrize("enc", [encode_for, encode_delta, encode_rle, encode_int_auto])
+    @pytest.mark.parametrize("i", range(len(cases)))
+    def test_roundtrip(self, enc, i):
+        rt_int(self.cases[i], enc)
+
+    def test_unsigned(self):
+        arr = np.array([0, 2**64 - 1, 5], dtype=np.uint64)
+        rt_int(arr, encode_for)
+
+    def test_constant(self):
+        blob = encode_constant(5, -3, True)
+        np.testing.assert_array_equal(decode_blob(blob), np.full(5, -3, dtype=np.int64))
+
+    def test_delta_wins_on_sorted(self):
+        arr = np.arange(0, 10**6, 137, dtype=np.int64)
+        assert len(encode_delta(arr)) < len(encode_for(arr)) / 5
+
+
+class TestRans:
+    def test_normalize(self):
+        counts = np.array([1000, 1, 0, 7])
+        f = normalize_freqs(counts)
+        assert f.sum() == M and f[2] == 0 and (f[np.array([0, 1, 3])] >= 1).all()
+
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"a",
+            b"aaaaaaaaaaaaaa",
+            SENTENCE,
+            CODE_SAMPLE,
+            bytes(range(256)) * 10,
+            np.random.default_rng(3).integers(0, 256, 100_000).astype(np.uint8).tobytes(),
+            np.random.default_rng(4).integers(0, 4, 50_000).astype(np.uint8).tobytes(),
+        ],
+    )
+    def test_roundtrip(self, data):
+        blob = encode_rans0(data)
+        assert decode_blob(blob) == data
+
+    def test_compresses_skewed(self):
+        data = np.random.default_rng(5).integers(0, 4, 100_000).astype(np.uint8).tobytes()
+        blob = encode_rans0(data)
+        # entropy is 2 bits/byte → ~4x; allow slack for headers
+        assert len(blob) < len(data) // 3
+
+
+class TestFsst:
+    @pytest.mark.parametrize(
+        "data",
+        [b"", b"x", SENTENCE, CODE_SAMPLE, b"/usr/lib/python3/dist-packages/foo.py" * 30],
+    )
+    def test_roundtrip(self, data):
+        blob = encode_fsst(data)
+        assert decode_blob(blob) == data
+
+    def test_trained_table_compresses_paths(self):
+        paths = b"\n".join(
+            b"src/main/java/com/example/service/Handler%d.java" % i for i in range(200)
+        )
+        blob = encode_fsst(paths)
+        assert len(blob) < len(paths) // 2
+
+    def test_table_roundtrip_binary(self):
+        data = bytes(range(256)) * 4 + b"\x00\x00\x00\x00" * 64
+        assert decode_blob(encode_fsst(data)) == data
+
+
+class TestLz:
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"short",
+            b"a" * 10_000,
+            SENTENCE,
+            CODE_SAMPLE,
+            CODE_SAMPLE * 20,
+            np.random.default_rng(6).integers(0, 256, 64_000).astype(np.uint8).tobytes(),
+            b"ab" * 50_000,
+            bytes(range(256)),
+        ],
+    )
+    def test_roundtrip(self, data):
+        blob = encode_lz(data)
+        assert decode_blob(blob) == data
+
+    def test_ratio_on_code(self):
+        data = CODE_SAMPLE * 20
+        blob = encode_lz(data)
+        assert len(blob) < len(data) // 10
+
+    def test_overlapping_matches(self):
+        data = b"abcde" * 1000 + b"xyz" + b"q" * 500
+        assert decode_blob(encode_lz(data)) == data
+
+
+class TestRaw:
+    def test_roundtrip(self):
+        assert decode_blob(encode_raw(b"hello")) == b"hello"
+        assert decode_blob(encode_raw(b"")) == b""
