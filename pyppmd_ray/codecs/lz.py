@@ -122,17 +122,24 @@ def _off_decode(code: np.ndarray, extra: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------ match finding
 
 def _grams_u64(data: np.ndarray, k: int) -> np.ndarray:
+    """k<=8: exact little-endian pack; k>8: polynomial hash (collisions
+    are fine — candidates are verified by extension)."""
     n = data.size - k + 1
     if n <= 0:
         return np.zeros(0, dtype=_U64)
     g = np.zeros(n, dtype=_U64)
+    if k <= 8:
+        for j in range(k):
+            g |= data[j : j + n].astype(_U64) << _U64(8 * j)
+        return g
+    prime = np.uint64(0x100000001B3)
     for j in range(k):
-        g |= data[j : j + n].astype(_U64) << _U64(8 * j)
+        g = g * prime + data[j : j + n].astype(_U64)
     return g
 
 
 def _prev_occurrence(g: np.ndarray) -> np.ndarray:
-    """cand[i] = nearest j < i with g[j] == g[i], else -1."""
+    """cand[i] = nearest j < i with g[j] == g[i], else -1 (exact grams)."""
     cand = np.full(g.size, -1, dtype=_I64)
     if g.size < 2:
         return cand
@@ -142,103 +149,176 @@ def _prev_occurrence(g: np.ndarray) -> np.ndarray:
     return cand
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_POS_BITS = 24  # max 16M positions per parse segment
+_POS_MASK = np.uint64((1 << _POS_BITS) - 1)
+
+
+def _prev_occurrence_hashed(data: np.ndarray, k: int) -> np.ndarray:
+    """Nearest previous position with the same 40-bit k-gram hash.
+
+    Single in-place sort of (hash << 24 | pos) — the position rides in the
+    low bits, so equal-hash runs come out position-ascending and no argsort
+    permutation is needed. Candidates are verified later by extension from
+    length 0 (hash collisions just yield a short/failed match)."""
+    n = data.size - k + 1
+    if n <= 1:
+        return np.full(max(n, 0), -1, dtype=_I64)
+    g = _grams_u64(data, k)
+    h = (g * _GOLD) >> np.uint64(64 - 40)
+    key = (h << np.uint64(_POS_BITS)) | np.arange(n, dtype=_U64)
+    key.sort()
+    pos = (key & _POS_MASK).astype(_I64)
+    hh = key >> np.uint64(_POS_BITS)
+    cand = np.full(n, -1, dtype=_I64)
+    same = hh[1:] == hh[:-1]
+    cand[pos[1:][same]] = pos[:-1][same]
+    return cand
+
+
 def _match_lengths(data: np.ndarray, cand: np.ndarray, k: int, cap: int) -> np.ndarray:
-    """mlen[i] = match length (>= k where cand >= 0), extended up to k+cap."""
-    m = cand.size
-    ml = np.zeros(m, dtype=_I64)
+    """mlen[i] = match length (>= k where cand >= 0), extended up to k+cap.
+
+    Shrinking index arrays: each pass only touches still-matching
+    positions, so total work ≈ sum of match lengths, not cap × n."""
+    ml = np.zeros(cand.size, dtype=_I64)
     valid = cand >= 0
     ml[valid] = k
-    active = valid.copy()
-    c = np.where(valid, cand, 0)
+    ip = np.flatnonzero(valid)
+    c = cand[ip]
     n = data.size
     for j in range(k, k + cap):
-        if j >= n:
-            break
-        limit = n - j  # position i can extend to i+j only if i+j < n
-        if limit < m:
-            active[limit:] = False
-        ip = np.flatnonzero(active)
+        keep = ip + j < n
+        if not keep.all():
+            ip = ip[keep]
+            c = c[keep]
         if ip.size == 0:
             break
-        eq = data[ip + j] == data[c[ip] + j]
+        eq = data[ip + j] == data[c + j]
         ml[ip[eq]] += 1
-        bad = ip[~eq]
-        active[bad] = False
+        ip = ip[eq]
+        c = c[eq]
     return ml
 
 
-def _extend_match(data: np.ndarray, c: int, j: int, L: int) -> int:
-    n = data.size
-    m = n - j - L
-    if m <= 0:
-        return L
-    a = data[j + L : n]
-    b = data[c + L : c + L + m]
-    eq = a == b
-    if eq.all():
-        return L + m
-    return L + int(np.argmin(eq))
+def _mismatch_at(a: bytes, b: bytes) -> int:
+    """First differing index of two equal-length unequal byte strings."""
+    lo, hi = 0, len(a)
+    while hi - lo > 32:
+        mid = (lo + hi) // 2
+        if a[lo:mid] == b[lo:mid]:
+            lo = mid
+        else:
+            hi = mid
+    for t in range(lo, hi):
+        if a[t] != b[t]:
+            return t
+    return hi
+
+
+def _extend_match(db: bytes, c: int, j: int, L: int, n: int) -> int:
+    """Extend a guaranteed L-byte match in doubling memcmp chunks."""
+    limit = n - j
+    step = 64
+    while L < limit:
+        m = min(step, limit - L)
+        a = db[j + L : j + L + m]
+        b = db[c + L : c + L + m]
+        if a == b:
+            L += m
+            step = min(step * 2, 1 << 16)
+            continue
+        return L + _mismatch_at(a, b)
+    return L
 
 
 # ------------------------------------------------------------------ codec
 
 def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndarray]:
-    """Greedy parse → (lit_lens, match_lens, offsets, literal bytes)."""
+    """Greedy parse → (lit_lens, match_lens, offsets, literal bytes).
+
+    Match lengths are computed LAZILY, only at chosen token positions
+    (chunked extend from the exact-gram guaranteed prefix) — total length
+    work is O(sum of emitted match lengths), not O(n × avg match)."""
     n = int(data.size)
-    g5 = _grams_u64(data, 5)
-    c5 = _prev_occurrence(g5)
-    ml5 = _match_lengths(data, c5, 5, 11)       # lengths 5..16
-    g8 = _grams_u64(data, 8)
-    c8 = _prev_occurrence(g8)
-    ml8 = _match_lengths(data, c8, 8, 56)       # lengths 8..64
-
-    m5 = c5.size
-    mlen = ml5.copy()
-    cand = c5.copy()
-    if ml8.size:
-        upg = ml8 > mlen[: ml8.size]
-        mlen[: ml8.size][upg] = ml8[upg]
-        cand[: ml8.size][upg] = c8[upg]
-
-    mpos = np.flatnonzero(mlen >= MIN_MATCH)
-    candl = cand.tolist()
-    mlenl = mlen.tolist()
+    if n >= 1 << _POS_BITS:
+        raise CodecError("lz_parse segment too large; encode_lz must chunk")
+    c6 = _prev_occurrence_hashed(data, 6)
+    c16 = _prev_occurrence_hashed(data, 16)
+    mpos = np.flatnonzero(c6 >= 0)
+    db = data.tobytes()
+    c6l = c6.tolist()
+    c16l = c16.tolist()
+    n16 = len(c16l)
     lls: list[int] = []
     mls: list[int] = []
     ofs: list[int] = []
-    lit_slices: list[np.ndarray] = []
+    lit_slices: list[bytes] = []
     anchor = 0
     i = 0
-    search = np.searchsorted
+    ssearch = mpos.searchsorted
+    np_size = int(mpos.size)
     while True:
-        p = search(mpos, i, "left")
-        if p >= mpos.size:
+        p = int(ssearch(i, "left"))
+        if p >= np_size:
             break
         j = int(mpos[p])
-        c = candl[j]
-        L = mlenl[j]
-        if L >= 16:
-            L = _extend_match(data, c, j, L)
+        c = c6l[j]
+        L = _extend_match(db, c, j, 0, n)  # from 0: verifies hashed candidate
+        # long-match candidate from the 16-gram table (nearest previous
+        # position sharing a 16-byte prefix — catches repeated lines/files)
+        if j < n16:
+            c2 = c16l[j]
+            if c2 >= 0 and c2 != c:
+                L2 = _extend_match(db, c2, j, 0, n)
+                if L2 > L:
+                    c, L = c2, L2
+        if L < 24:
+            # one chain hop: the candidate's own predecessor
+            cc = c6l[c] if c >= 0 else -1
+            if cc >= 0:
+                L2 = _extend_match(db, cc, j, 0, n)
+                if L2 > L:
+                    c, L = cc, L2
+        of = j - c
+        # cost-aware acceptance: far matches must be longer to pay for
+        # their offset extra bits
+        min_l = MIN_MATCH if of < 1 << 14 else (6 if of < 1 << 20 else 8)
+        if L < min_l:
+            i = j + 1
+            continue
         lls.append(j - anchor)
         mls.append(L)
-        ofs.append(j - c)
+        ofs.append(of)
         if j > anchor:
-            lit_slices.append(data[anchor:j])
+            lit_slices.append(db[anchor:j])
         anchor = j + L
         i = anchor
     if anchor < n:
-        lit_slices.append(data[anchor:])
-    lits = np.concatenate(lit_slices) if lit_slices else np.zeros(0, dtype=np.uint8)
+        lit_slices.append(db[anchor:])
+    lits = (
+        np.frombuffer(b"".join(lit_slices), dtype=np.uint8)
+        if lit_slices
+        else np.zeros(0, dtype=np.uint8)
+    )
     return lls, mls, ofs, lits
 
 
 def encode_lz(data: bytes | memoryview | np.ndarray) -> bytes:
-    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(arr_in := data, np.ndarray) else data
     n = int(arr.size)
     if n < 32:
         from .numeric import encode_raw
 
         return pack_blob("lz", {"n": n, "S": -1}, encode_raw(bytes(arr.tobytes())))
+    if n >= 1 << _POS_BITS:
+        # multi-segment: independent windows of <16M positions each
+        seg = (1 << _POS_BITS) - 1
+        parts = []
+        for s in range(0, n, seg):
+            child = encode_lz(arr[s : s + seg])
+            parts.append(write_uvarint(len(child)) + child)
+        return pack_blob("lz", {"n": n, "S": -2}, b"".join(parts))
 
     lls, mls, ofs, lits = lz_parse(arr)
     S = len(lls)
@@ -266,6 +346,16 @@ def _decode_lz(meta: dict, payload: memoryview) -> bytes:
     n, S = meta["n"], meta["S"]
     if S == -1:
         return decode_blob(payload)
+    if S == -2:
+        out = bytearray()
+        pos = 0
+        while pos < len(payload):
+            blen, pos = read_uvarint(payload, pos)
+            out += decode_blob(payload[pos : pos + blen])
+            pos += blen
+        if len(out) != n:
+            raise CodecError("lz multi-segment length mismatch")
+        return bytes(out)
     parts: list[memoryview] = []
     pos = 0
     for _ in range(5):

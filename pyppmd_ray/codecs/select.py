@@ -1,0 +1,114 @@
+"""Sampling-based codec auto-selection (per block / partition).
+
+The north-rule selector: sample rows inside the batch (no shuffle —
+SURVEY.md §2.6), trial-encode candidates on the sample, pin the winning
+cascade for the full block. Deterministic given the input block (fixed
+stride sampling, no RNG) so Ray task retries re-produce identical bytes
+(lineage re-execution safety, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .fsst import encode_fsst
+from .lz import encode_lz
+from .numeric import encode_raw
+from .rans import encode_rans0
+from .strings import StrCol, dict_encode_strcol, strcol_from_arrow
+
+SAMPLE_BYTES = 32 << 10
+# candidate byte-stream codecs with a small cost bias: prefer the cheaper
+# codec unless the expensive one is clearly smaller
+_BYTE_TRIALS = (
+    ("raw", encode_raw, 1.00),
+    ("rans0", encode_rans0, 1.02),
+    ("fsst", encode_fsst, 1.05),
+    ("lz", encode_lz, 1.08),
+)
+
+
+def _sample_strcol(col: StrCol, max_bytes: int = SAMPLE_BYTES) -> bytes:
+    """Deterministic stride sample of whole rows, ~max_bytes of data."""
+    offsets, data = col
+    n = offsets.size - 1
+    total = int(offsets[-1])
+    if total <= max_bytes or n <= 4:
+        return data
+    stride = max(1, int(np.ceil(total / max_bytes)))
+    rows = np.arange(0, n, stride)
+    parts = [data[offsets[r] : offsets[r + 1]] for r in rows.tolist()]
+    s = b"".join(parts)
+    return s[:max_bytes] if len(s) > max_bytes else s
+
+
+def pick_byte_codec(sample: bytes, avg_len: float | None = None) -> str:
+    """Trial-encode the sample; prune trials that can't win:
+    - fsst targets short-string columns (paths/ids) — skip when rows are
+      long (lz sees the same redundancy plus long matches);
+    - lz needs enough bytes to amortize its tables."""
+    if len(sample) < 64:
+        return "raw"
+    skip = set()
+    if avg_len is not None and avg_len > 96:
+        skip.add("fsst")
+    if len(sample) < 4096:
+        skip.add("lz")
+    best_name, best_score = "raw", float(len(sample))
+    for name, enc, bias in _BYTE_TRIALS:
+        if name in skip:
+            continue
+        try:
+            size = len(enc(sample)) * bias
+        except Exception:
+            continue
+        if size < best_score:
+            best_name, best_score = name, size
+    return best_name
+
+
+def plan_strcol(col: StrCol) -> dict:
+    offsets, data = col
+    n = int(offsets.size) - 1
+    hints: dict = {}
+    if n >= 8:
+        # distinct ratio on a row sample (stride, deterministic)
+        stride = max(1, n // 2048)
+        rows = np.arange(0, n, stride)
+        lens = np.diff(offsets)
+        sub_off = np.concatenate(([0], np.cumsum(lens[rows]))).astype(np.int64)
+        sub_data = b"".join(data[offsets[r] : offsets[r + 1]] for r in rows.tolist())
+        codes, (voff, _) = dict_encode_strcol((sub_off, sub_data))
+        distinct_ratio = (voff.size - 1) / max(1, rows.size)
+        hints["layout"] = "sdict" if distinct_ratio <= 0.5 else "strs"
+    else:
+        hints["layout"] = "strs"
+    avg_len = int(offsets[-1]) / max(1, n)
+    hints["data_codec"] = pick_byte_codec(_sample_strcol(col), avg_len=avg_len)
+    return hints
+
+
+def plan_table(tbl: pa.Table) -> dict[str, dict]:
+    """Per-column hints for one block; only string-ish columns need a plan
+    (numeric cascades self-select cheaply inside encode_int_auto)."""
+    plans: dict[str, dict] = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            arr = col
+            if arr.null_count:
+                import pyarrow.compute as pc
+
+                is_bin = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                arr = pc.fill_null(arr, b"" if is_bin else "")
+            plans[name] = plan_strcol(strcol_from_arrow(arr))
+    return plans

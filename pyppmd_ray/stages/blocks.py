@@ -1,0 +1,208 @@
+"""Encoded-block framing: a pa.Table slice ↔ one self-describing block.
+
+A block is the engine's atomic decode unit — the analogue of one reference
+compression stream (SURVEY.md §1.1: "an encoded block is the atomic decode
+unit; row order within a block must be recorded"). Row order inside a block
+is positional (column layouts preserve order); every block carries:
+
+- ``block_id``: content address — sha256 over the canonical uncompressed
+  column bytes. Deterministic encode ⇒ Ray task retries write identical
+  blocks (lineage-safe, SURVEY.md §4.2), and identical input blocks
+  dedupe naturally.
+- ``meta``: JSON with schema, per-column codec ids + sizes,
+  ``uncompressed_bytes`` — the explicit out-of-band framing the reference
+  lacks (its decoder needs length fed separately,
+  `/root/reference/src/ext/_ppmdmodule.c:398-407`).
+- ``payload``: framed per-column blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode_blob, unpack_blob
+from ..codecs.base import read_uvarint, write_uvarint
+from ..codecs.column import encode_column, type_to_str
+from ..codecs.select import plan_table
+
+BLOCK_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("uncompressed_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("meta", pa.string()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+def canonical_column_bytes(arr: pa.Array) -> list[bytes]:
+    """Deterministic byte rendering of a column for hashing (type-aware,
+    layout-independent)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    import pyarrow.compute as pc
+
+    parts: list[bytes] = []
+    if arr.null_count:
+        parts.append(np.packbits(np.asarray(pc.is_valid(arr)), bitorder="little").tobytes())
+        arr = pc.fill_null(arr, _zero_value(t)) if _zero_value(t) is not None else arr
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        from ..codecs.strings import strcol_from_arrow
+
+        off, data = strcol_from_arrow(arr)
+        parts += [off.tobytes(), data]
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        # logical canonical form: null slots count as empty lists, child
+        # values of null slots excluded (pc.list_flatten drops them)
+        lens = np.asarray(pc.fill_null(pc.list_value_length(arr), 0), dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(lens)))
+        parts.append(off.tobytes())
+        parts += canonical_column_bytes(pc.list_flatten(arr))
+    elif pa.types.is_boolean(t):
+        parts.append(np.packbits(arr.to_numpy(zero_copy_only=False), bitorder="little").tobytes())
+    else:
+        parts.append(arr.to_numpy(zero_copy_only=False).tobytes())
+    return parts
+
+
+def _zero_value(t: pa.DataType):
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ""
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return None
+    return 0
+
+
+def table_uncompressed_bytes(tbl: pa.Table) -> int:
+    return sum(sum(len(p) for p in canonical_column_bytes(tbl[c])) for c in tbl.column_names)
+
+
+def encode_block(tbl: pa.Table, hints: dict[str, dict] | None = None) -> dict:
+    """Encode one table slice into a block row (dict matching BLOCK_SCHEMA)."""
+    if hints is None:
+        hints = plan_table(tbl)
+    h = hashlib.sha256()
+    unc = 0
+    for name in tbl.column_names:
+        for part in canonical_column_bytes(tbl[name]):
+            h.update(part)
+            unc += len(part)
+    blobs: dict[str, bytes] = {}
+    col_meta: dict[str, dict] = {}
+    for name in tbl.column_names:
+        blob = encode_column(tbl[name], hints=hints.get(name))
+        blobs[name] = blob
+        cname, _, _ = unpack_blob(blob)
+        col_meta[name] = {
+            "codec": _cascade_id(blob),
+            "bytes": len(blob),
+            "type": type_to_str(
+                tbl[name].type if not isinstance(tbl[name], pa.ChunkedArray) else tbl[name].type
+            ),
+            "hints": hints.get(name, {}),
+        }
+    payload = bytearray()
+    payload += write_uvarint(len(blobs))
+    for name, blob in blobs.items():
+        nb = name.encode()
+        payload += write_uvarint(len(nb)) + nb + write_uvarint(len(blob)) + blob
+    payload = bytes(payload)
+    meta = {
+        "columns": col_meta,
+        "n_rows": tbl.num_rows,
+        "uncompressed_bytes": unc,
+        "v": 1,
+    }
+    return {
+        "block_id": h.hexdigest(),
+        "n_rows": tbl.num_rows,
+        "uncompressed_bytes": unc,
+        "encoded_bytes": len(payload),
+        "meta": json.dumps(meta, sort_keys=True),
+        "payload": payload,
+    }
+
+
+def _cascade_id(blob: bytes | memoryview) -> str:
+    """Readable codec cascade, e.g. 'column[strs[delta,lz]]' — recorded in
+    manifests so per-partition metrics show the selector's choices."""
+    name, meta, payload = unpack_blob(blob)
+    try:
+        if name == "column":
+            if meta.get("nl"):
+                nlen, pos = read_uvarint(payload, 0)
+                payload = payload[pos + nlen :]
+            return f"column[{_cascade_id(payload)}]"
+        if name in ("strs", "sdict"):
+            alen, pos = read_uvarint(payload, 0)
+            a = _cascade_id(payload[pos : pos + alen])
+            b = _cascade_id(payload[pos + alen :])
+            return f"{name}[{a},{b}]"
+        if name == "plist":
+            olen, pos = read_uvarint(payload, 0)
+            a = _cascade_id(payload[pos : pos + olen])
+            b = _cascade_id(payload[pos + olen :])
+            return f"plist[{a},{b}]"
+    except Exception:
+        pass
+    return name
+
+
+def decode_block(payload: bytes | memoryview) -> pa.Table:
+    """Inverse of :func:`encode_block` — bit-identical table slice."""
+    mv = memoryview(payload)
+    ncols, pos = read_uvarint(mv, 0)
+    cols: dict[str, pa.Array] = {}
+    for _ in range(ncols):
+        nlen, pos = read_uvarint(mv, pos)
+        name = bytes(mv[pos : pos + nlen]).decode()
+        pos += nlen
+        blen, pos = read_uvarint(mv, pos)
+        cols[name] = decode_blob(mv[pos : pos + blen])
+        pos += blen
+    return pa.table(cols)
+
+
+def split_by_bytes(tbl: pa.Table, target_bytes: int) -> list[pa.Table]:
+    """Split a table into row-contiguous slices of ~target_bytes each
+    (heavy-tail skew taming: byte-budget blocks, SURVEY.md §7.4)."""
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    sizes = np.zeros(n, dtype=np.int64)
+    for name in tbl.column_names:
+        col = tbl[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            import pyarrow.compute as pc
+
+            is_bin = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            filled = pc.fill_null(col, b"" if is_bin else "")
+            sizes += np.asarray(pc.binary_length(filled), dtype=np.int64) + 8
+        else:
+            sizes += 8
+    cum = np.cumsum(sizes)
+    total = int(cum[-1])
+    if total <= target_bytes:
+        return [tbl]
+    n_blocks = -(-total // target_bytes)
+    bounds = np.searchsorted(cum, np.arange(1, n_blocks) * (total / n_blocks))
+    bounds = np.unique(np.clip(bounds + 1, 1, n - 1))
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    return [tbl.slice(int(s), int(e - s)) for s, e in zip(starts, ends) if e > s]

@@ -1,0 +1,178 @@
+"""End-to-end Ray Data pipeline tests: encode → decode → per-row sha256
+equality (the reference round-trip contract,
+`/root/reference/tests/test_ppmd7.py:56-92`), partitioning invariance
+(FIXTURES.md F4), and checkpoint-resume (FIXTURES.md F6)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyppmd_ray.fixtures import generate_source_table, source_table_path
+from pyppmd_ray.pipelines import (
+    decode_dataset,
+    encode_dataset,
+    plan_units,
+    read_encoded,
+    row_sha256,
+    run_encode_job,
+    run_verify_job,
+)
+from pyppmd_ray.stages.blocks import decode_block, encode_block, split_by_bytes
+from pyppmd_ray.state.manifest import completed_units, load_all_manifests, unit_manifest_path
+
+
+@pytest.fixture(scope="module")
+def source_tbl():
+    return generate_source_table(1500, seed=42)
+
+
+@pytest.fixture(scope="module")
+def source_parquet(tmp_path_factory, source_tbl):
+    p = tmp_path_factory.mktemp("src") / "source_files.parquet"
+    pq.write_table(source_tbl, str(p), row_group_size=300)
+    return str(p)
+
+
+class TestBlocks:
+    def test_block_roundtrip(self, source_tbl):
+        sub = source_tbl.slice(0, 200)
+        row = encode_block(sub)
+        out = decode_block(row["payload"])
+        assert out.equals(sub.select(out.column_names))
+        assert row["n_rows"] == 200
+        assert row["encoded_bytes"] < row["uncompressed_bytes"]
+        meta = json.loads(row["meta"])
+        assert set(meta["columns"]) == set(sub.column_names)
+
+    def test_block_id_content_addressed(self, source_tbl):
+        a = encode_block(source_tbl.slice(0, 50))
+        b = encode_block(source_tbl.slice(0, 50))
+        c = encode_block(source_tbl.slice(50, 50))
+        assert a["block_id"] == b["block_id"] != c["block_id"]
+
+    def test_split_by_bytes_budget(self, source_tbl):
+        parts = split_by_bytes(source_tbl, 256 << 10)
+        assert sum(p.num_rows for p in parts) == source_tbl.num_rows
+        assert len(parts) > 1
+        recon = pa.concat_tables(parts)
+        assert recon.equals(source_tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingPipeline:
+    def test_encode_decode_sha(self, source_parquet, source_tbl):
+        import ray.data as rd
+
+        ds = rd.read_parquet(source_parquet)
+        enc = encode_dataset(ds, target_block_bytes=1 << 20)
+        dec = decode_dataset(enc)
+        out = pa.concat_tables(dec.iter_batches(batch_size=None, batch_format="pyarrow"))
+        # order-insensitive per-row sha comparison (streaming does not
+        # guarantee block order)
+        sa = sorted(row_sha256(source_tbl))
+        sb = sorted(row_sha256(out))
+        assert sa == sb
+        assert out.num_rows == source_tbl.num_rows
+
+    def test_compression_beats_raw(self, source_parquet):
+        import ray.data as rd
+
+        enc = encode_dataset(rd.read_parquet(source_parquet), target_block_bytes=4 << 20)
+        stats = enc.to_pandas()
+        ratio = stats["uncompressed_bytes"].sum() / stats["encoded_bytes"].sum()
+        assert ratio > 3.0, f"ratio {ratio}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumableJob:
+    def test_job_and_verify(self, source_parquet, tmp_path):
+        out_dir = str(tmp_path / "enc")
+        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        assert s["units_encoded"] == 5  # 1500 rows / 300 per row-group
+        assert s["ratio"] > 3.0
+        v = run_verify_job(source_parquet, out_dir)
+        assert v["ok"], v
+        mans = load_all_manifests(out_dir)
+        assert len(mans) == 5
+        assert all(m["status"] == "done" for m in mans)
+        assert all(m["ratio"] > 1 for m in mans)
+
+    def test_resume_skips_done(self, source_parquet, tmp_path):
+        out_dir = str(tmp_path / "enc2")
+        s1 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        s2 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        assert s1["units_encoded"] == 5 and s2["units_encoded"] == 0
+        assert s2["units_skipped"] == 5
+
+    def test_resume_after_partial_failure(self, source_parquet, tmp_path):
+        """F6: kill after k units; rerun must skip completed and produce
+        byte-identical output to an uninterrupted run."""
+        out_a = str(tmp_path / "a")
+        out_b = str(tmp_path / "b")
+        run_encode_job(source_parquet, out_a, target_block_bytes=1 << 20)
+        # simulate a crashed run: only 2 units completed
+        units = plan_units(source_parquet)
+        os.makedirs(out_b, exist_ok=True)
+        import shutil
+
+        for u in units[:2]:
+            shutil.copytree(
+                os.path.join(out_a, "_manifests"),
+                os.path.join(out_b, "_manifests"),
+                dirs_exist_ok=True,
+            )
+        # keep only 2 manifests + their blocks
+        keep = {u["unit_id"] for u in units[:2]}
+        for f in glob.glob(os.path.join(out_b, "_manifests", "*.json")):
+            uid = os.path.basename(f)[len("unit-") : -len(".json")]
+            if uid not in keep:
+                os.remove(f)
+        os.makedirs(os.path.join(out_b, "blocks"), exist_ok=True)
+        for uid in keep:
+            shutil.copy(
+                os.path.join(out_a, "blocks", f"unit-{uid}.parquet"),
+                os.path.join(out_b, "blocks", f"unit-{uid}.parquet"),
+            )
+        assert completed_units(out_b) == keep
+        s = run_encode_job(source_parquet, out_b, target_block_bytes=1 << 20)
+        assert s["units_skipped"] == 2 and s["units_encoded"] == 3
+        # byte-identical block files across the two runs
+        for u in units:
+            a = open(os.path.join(out_a, "blocks", f"unit-{u['unit_id']}.parquet"), "rb").read()
+            b = open(os.path.join(out_b, "blocks", f"unit-{u['unit_id']}.parquet"), "rb").read()
+            ta = pq.read_table(pa.BufferReader(a))
+            tb = pq.read_table(pa.BufferReader(b))
+            assert ta.equals(tb), f"unit {u['unit_id']} differs between runs"
+
+    def test_torn_manifest_not_done(self, source_parquet, tmp_path):
+        out_dir = str(tmp_path / "enc3")
+        run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        units = plan_units(source_parquet)
+        # corrupt one manifest → that unit must be re-run
+        with open(unit_manifest_path(out_dir, units[0]["unit_id"]), "w") as f:
+            f.write('{"status": "do')  # torn write
+        assert units[0]["unit_id"] not in completed_units(out_dir)
+        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        assert s["units_encoded"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitioningInvariance:
+    """FIXTURES.md F4: decoded table identical at any partition count /
+    block budget (translation of the reference's split-point tests,
+    tests/test_ppmd7.py:23-53)."""
+
+    @pytest.mark.parametrize("budget", [256 << 10, 8 << 20])  # FIXTURES.md F4
+    def test_budget_invariance(self, source_tbl, budget):
+        parts = split_by_bytes(source_tbl, budget)
+        rows = [encode_block(p) for p in parts]
+        recon = pa.concat_tables([decode_block(r["payload"]) for r in rows])
+        assert recon.equals(source_tbl.select(recon.column_names))
