@@ -1,0 +1,229 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) plus
+the north-rule source_files fixture (generated, cached in /tmp):
+
+- encode_source / decode_source: the flagship per-column compression
+  round-trip over the (repo, path, commit, lang, content) table;
+- encode_source_fast: selector pinned to the lightweight cascade
+  (dict/delta/rANS — the >>7 MB/s/core path);
+- encode_documents: sf documents table;
+- dedup_minhash, ann_topk, lineitem_agg: training-data ops.
+
+`--scaling`: runs the same job in fresh processes at num_cpus=8 and 32 on
+identical input and reports throughput at both + scaling efficiency
+(T_8·8)/(T_32·32) — the sandbox protocol for the north rule's two-cluster
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "40000"))
+BLOCK_BYTES = 4 << 20
+
+
+def _run_bench() -> dict:
+    os.environ.setdefault("PYTHONPATH", REPO)
+    os.chdir(REPO)
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from pyppmd_ray.fixtures import source_table_path
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset, row_sha256
+
+    src_path = source_table_path(BENCH_ROWS, seed=42)
+    # warm page cache (measure compute, not first disk read)
+    import pyarrow.dataset as pads
+
+    pads.dataset(src_path, format="parquet").to_table()
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {"source_rows": BENCH_ROWS}
+    # leave CPUs for the read/write stages — a pool reserving every CPU
+    # deadlocks the streaming topology (read tasks never get a slot)
+    conc = max(2, NUM_CPUS - 2)
+
+    # ---- flagship: encode source_files (auto selector, lz-heavy) ----
+    t0 = time.monotonic()
+    enc = encode_dataset(
+        rd.read_parquet(src_path, override_num_blocks=NUM_CPUS * 3),
+        target_block_bytes=BLOCK_BYTES,
+        concurrency=conc,
+    ).materialize()
+    t_enc = time.monotonic() - t0
+    stats = enc.to_pandas()
+    bytes_in = int(stats["uncompressed_bytes"].sum())
+    bytes_out = int(stats["encoded_bytes"].sum())
+    queries["encode_source"] = round(t_enc, 3)
+    extra["encode_source_MBps"] = round(bytes_in / 1e6 / t_enc, 1)
+    extra["source_ratio"] = round(bytes_in / bytes_out, 3)
+    extra["source_bytes_in"] = bytes_in
+
+    # ---- decode + spot sha verify ----
+    t0 = time.monotonic()
+    dec = decode_dataset(enc, concurrency=conc)
+    n_rows = dec.count()
+    t_dec = time.monotonic() - t0
+    queries["decode_source"] = round(t_dec, 3)
+    extra["decode_source_MBps"] = round(bytes_in / 1e6 / t_dec, 1)
+    assert n_rows == BENCH_ROWS, f"decode rows {n_rows} != {BENCH_ROWS}"
+
+    # ---- lightweight path: selector pinned to rans0 (speed headline) ----
+    hints = {
+        "content": {"layout": "strs", "data_codec": "rans0"},
+        "path": {"layout": "strs", "data_codec": "rans0"},
+        "repo": {"layout": "sdict", "data_codec": "raw"},
+        "lang": {"layout": "sdict", "data_codec": "raw"},
+        "commit": {"layout": "sdict", "data_codec": "raw"},
+    }
+    t0 = time.monotonic()
+    enc_fast = encode_dataset(
+        rd.read_parquet(src_path, override_num_blocks=NUM_CPUS * 3),
+        target_block_bytes=BLOCK_BYTES,
+        hints=hints,
+        concurrency=conc,
+    ).materialize()
+    t_fast = time.monotonic() - t0
+    stats_f = enc_fast.to_pandas()
+    queries["encode_source_fast"] = round(t_fast, 3)
+    extra["encode_fast_MBps"] = round(bytes_in / 1e6 / t_fast, 1)
+    extra["fast_ratio"] = round(
+        int(stats_f["uncompressed_bytes"].sum()) / int(stats_f["encoded_bytes"].sum()), 3
+    )
+
+    # ---- documents table from the sf dir ----
+    t0 = time.monotonic()
+    enc_docs = encode_dataset(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        target_block_bytes=BLOCK_BYTES,
+        concurrency=conc,
+    ).materialize()
+    queries["encode_documents"] = round(time.monotonic() - t0, 3)
+    sd = enc_docs.to_pandas()
+    extra["documents_ratio"] = round(
+        int(sd["uncompressed_bytes"].sum()) / int(sd["encoded_bytes"].sum()), 3
+    )
+
+    # ---- training-data ops ----
+    from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+
+    t0 = time.monotonic()
+    minhash_lsh_pairs(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+        threshold=0.3,
+        concurrency=max(1, NUM_CPUS // 2 - 1),
+    )
+    queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
+
+    from pyppmd_ray.functions.ann import brute_force_topk
+
+    emb = pa.concat_tables(
+        rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    qv = np.array(emb["embedding"].to_pylist()[:16], dtype=np.float64)
+    t0 = time.monotonic()
+    brute_force_topk(rd.from_arrow(emb), qv, k=10, concurrency=NUM_CPUS // 2 or 1)
+    queries["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    from ray.data.aggregate import Count, Sum
+
+    t0 = time.monotonic()
+    (
+        rd.read_parquet(
+            os.path.join(SF_DIR, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    queries["lineitem_agg"] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "pyppmd_ray bench: encode/decode + training-data ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extra": extra,
+    }
+
+
+def _run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = run(lo_n)
+    hi = run(hi_n)
+    # scaling on the flagship encode stage (CPU-bound, embarrassingly
+    # parallel over blocks — the stage the north rule measures)
+    t_lo = lo["queries"]["encode_source"] + lo["queries"]["encode_source_fast"]
+    t_hi = hi["queries"]["encode_source"] + hi["queries"]["encode_source_fast"]
+    eff = (t_lo * lo_n) / (t_hi * hi_n)
+    return {
+        "metric": "scaling efficiency (encode), num_cpus 8 -> 32",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8_MBps": round(
+            lo["extra"]["source_bytes_in"] * 2 / 1e6 / t_lo, 1
+        ),
+        "throughput_32_MBps": round(
+            hi["extra"]["source_bytes_in"] * 2 / 1e6 / t_hi, 1
+        ),
+        "full_8": lo,
+        "full_32": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(_run_scaling()))
+    else:
+        print(json.dumps(_run_bench()))

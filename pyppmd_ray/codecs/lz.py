@@ -247,9 +247,13 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
     c16 = _prev_occurrence_hashed(data, 16)
     mpos = np.flatnonzero(c6 >= 0)
     db = data.tobytes()
-    c6l = c6.tolist()
-    c16l = c16.tolist()
+    # memoryview scalar indexing: C-speed reads WITHOUT materializing
+    # millions of PyLongs (list conversion here costs ~90MB/block and
+    # serializes concurrent workers on the allocator)
+    c6l = memoryview(np.ascontiguousarray(c6))
+    c16l = memoryview(np.ascontiguousarray(c16))
     n16 = len(c16l)
+    mposl = memoryview(np.ascontiguousarray(mpos))
     lls: list[int] = []
     mls: list[int] = []
     ofs: list[int] = []
@@ -258,28 +262,33 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
     i = 0
     ssearch = mpos.searchsorted
     np_size = int(mpos.size)
+    extend = _extend_match
     while True:
         p = int(ssearch(i, "left"))
         if p >= np_size:
             break
-        j = int(mpos[p])
-        c = c6l[j]
-        L = _extend_match(db, c, j, 0, n)  # from 0: verifies hashed candidate
-        # long-match candidate from the 16-gram table (nearest previous
-        # position sharing a 16-byte prefix — catches repeated lines/files)
+        j = mposl[p]
+        # 16-gram candidate first (repeated lines/files → long match; when
+        # it is long we skip the short-gram probes entirely)
+        L = 0
+        c = -1
         if j < n16:
             c2 = c16l[j]
-            if c2 >= 0 and c2 != c:
-                L2 = _extend_match(db, c2, j, 0, n)
-                if L2 > L:
-                    c, L = c2, L2
-        if L < 24:
-            # one chain hop: the candidate's own predecessor
-            cc = c6l[c] if c >= 0 else -1
-            if cc >= 0:
-                L2 = _extend_match(db, cc, j, 0, n)
-                if L2 > L:
-                    c, L = cc, L2
+            if c2 >= 0:
+                L = extend(db, c2, j, 0, n)
+                c = c2
+        if L < 32:
+            c1 = c6l[j]
+            if c1 != c:
+                L1 = extend(db, c1, j, 0, n)
+                if L1 > L:
+                    c, L = c1, L1
+            if L < 24:
+                cc = c6l[c1]  # one chain hop on the 6-gram chain
+                if cc >= 0 and cc != c:
+                    L2 = extend(db, cc, j, 0, n)
+                    if L2 > L:
+                        c, L = cc, L2
         of = j - c
         # cost-aware acceptance: far matches must be longer to pay for
         # their offset extra bits

@@ -172,12 +172,24 @@ def generate_source_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 def source_table_path(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/pyppmd_ray_fixtures") -> str:
-    """Parquet path for the F1 table, generated once and cached."""
+    """Parquet DIRECTORY for the F1 table, generated once and cached.
+
+    Sharded into many files: one parquet file is ONE Ray read task (the
+    whole read serializes); a 100 TB input is naturally many files, so the
+    fixture mirrors that layout."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"source_files_n{n_rows}_s{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(cache_dir, f"source_files_n{n_rows}_s{seed}_sharded")
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
-        pq.write_table(generate_source_table(n_rows, seed), tmp, row_group_size=max(1024, n_rows // 16))
+        os.makedirs(tmp, exist_ok=True)
+        tbl = generate_source_table(n_rows, seed)
+        shard_rows = 2048
+        n_shards = max(1, -(-n_rows // shard_rows))
+        for s in range(n_shards):
+            sub = tbl.slice(s * shard_rows, shard_rows)
+            pq.write_table(
+                sub, os.path.join(tmp, f"part-{s:05d}.parquet"), row_group_size=1024
+            )
         os.replace(tmp, path)
     return path
 

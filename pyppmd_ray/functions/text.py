@@ -1,0 +1,182 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All operate over the ``documents`` table shape (doc_id, text, lang, ...)
+as vectorized ``map_batches`` callables. Stateful pieces (compiled
+regexes, stopword tables) live in actor ``__init__`` — once per worker,
+mirroring the reference's non-picklable-codec-state constraint
+(`/root/reference/src/ext/_ppmdmodule.c:617-634`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whitespace class shared VERBATIM with the SQL oracle (regexp_split_to_array)
+TOKEN_SPLIT_RE = r"[ \t\n\r]+"
+
+# tiny deterministic stopword profiles for the 5 testdata languages
+_STOPWORDS = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "para", "que"},
+    "zh": {"的", "是", "在", "了", "和", "有", "我", "不", "这", "个"},
+}
+
+
+class TokenCounter:
+    """(doc_id, n_tokens) — token = maximal run of non-[ \\t\\n\\r]."""
+
+    def __init__(self):
+        self.splitter = re.compile(TOKEN_SPLIT_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = [
+            len(self.splitter.split(t.strip())) if t is not None and t.strip() else 0
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())}
+        )
+
+
+class LangId:
+    """n-gram/stopword heuristic language id → (doc_id, pred_lang, score).
+
+    Deterministic: scores each language by stopword hits (CJK detection by
+    unicode range for zh); ties break lexicographically."""
+
+    def __init__(self):
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            if cjk >= 4:
+                preds.append("zh")
+                scores.append(float(cjk))
+                continue
+            toks = [w.lower() for w in self.word.findall(t[:2000])]
+            best_lang, best = "en", -1.0
+            for lang in ("de", "en", "es", "fr"):  # fixed order for tie-break
+                sw = _STOPWORDS[lang]
+                s = sum(1 for w in toks if w in sw)
+                if s > best:
+                    best_lang, best = lang, float(s)
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds, type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+class QualityScorer:
+    """Heuristic quality metrics per document (all deterministic ints /
+    rounded floats): length, token count, mean token length, alpha ratio,
+    punctuation ratio, stopword ratio."""
+
+    def __init__(self):
+        self.splitter = re.compile(TOKEN_SPLIT_RE)
+        self.alpha = re.compile(r"[^\W\d_]", re.UNICODE)
+        self.punct = re.compile(r"[.,;:!?'\"()\[\]{}]")
+        self.stop_all = set().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": batch["doc_id"].to_pylist(),
+            "n_chars": [],
+            "n_tokens": [],
+            "mean_token_len": [],
+            "alpha_ratio": [],
+            "punct_ratio": [],
+            "stopword_ratio": [],
+        }
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            toks = self.splitter.split(t.strip()) if t.strip() else []
+            n = len(t)
+            out["n_chars"].append(n)
+            out["n_tokens"].append(len(toks))
+            out["mean_token_len"].append(
+                round(sum(len(w) for w in toks) / len(toks), 4) if toks else 0.0
+            )
+            out["alpha_ratio"].append(round(len(self.alpha.findall(t)) / n, 4) if n else 0.0)
+            out["punct_ratio"].append(round(len(self.punct.findall(t)) / n, 4) if n else 0.0)
+            low = [w.lower() for w in toks]
+            out["stopword_ratio"].append(
+                round(sum(1 for w in low if w in self.stop_all) / len(low), 4) if low else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "mean_token_len": pa.array(out["mean_token_len"], type=pa.float64()),
+                "alpha_ratio": pa.array(out["alpha_ratio"], type=pa.float64()),
+                "punct_ratio": pa.array(out["punct_ratio"], type=pa.float64()),
+                "stopword_ratio": pa.array(out["stopword_ratio"], type=pa.float64()),
+            }
+        )
+
+
+def sha256_hex_column(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, fp) with fp = sha256 hex of the UTF-8 text — SQL-matched
+    document fingerprint (DuckDB ``sha256(text)``)."""
+    fps = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+        for t in batch[column].to_pylist()
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())})
+
+
+class WinnowFingerprinter:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    rolling k-gram hashes, minimum per window → compact doc sketch.
+    Returns (doc_id, n_fp, fp_xor) — deterministic summary values."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+
+    def _fingerprint(self, data: bytes) -> tuple[int, int]:
+        a = np.frombuffer(data, dtype=np.uint8)
+        k = self.k
+        if a.size < k:
+            return 0, 0
+        n = a.size - k + 1
+        g = np.zeros(n, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(k):
+            g = g * prime + a[j : j + n].astype(np.uint64)
+        w = min(self.window, n)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(g, w).min(axis=1)
+        sel = np.unique(mins)
+        return int(sel.size), int(np.bitwise_xor.reduce(sel) & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_fp, fp_xor = [], []
+        for t in batch["text"].to_pylist():
+            c, x = self._fingerprint((t or "").encode("utf-8"))
+            n_fp.append(c)
+            fp_xor.append(x)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fp": pa.array(n_fp, type=pa.int64()),
+                "fp_xor": pa.array(fp_xor, type=pa.int64()),
+            }
+        )

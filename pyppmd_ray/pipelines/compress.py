@@ -66,7 +66,7 @@ def default_concurrency() -> tuple[int, int]:
         cpus = int(ray.available_resources().get("CPU", 0) or ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(2, cpus))
+    return (1, max(2, cpus - 2))  # leave slots for read/write stages
 
 
 def encode_dataset(
@@ -145,10 +145,12 @@ class EncodeUnit:
             tbl = pf.read_row_group(unit["row_group"], columns=unit.get("columns"))
         else:
             tbl = pf.read(columns=unit.get("columns"))
-        rows = [
-            encode_block(sub, hints=self.hints)
-            for sub in split_by_bytes(tbl, self.target_block_bytes)
-        ]
+        subs = split_by_bytes(tbl, self.target_block_bytes)
+        hints = self.hints
+        if hints is None and subs:
+            # one deterministic plan per unit (sampled from the first block)
+            hints = plan_table(subs[0])
+        rows = [encode_block(sub, hints=hints) for sub in subs]
         blocks = (
             pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
             if rows

@@ -38,12 +38,17 @@ class EncoderActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.columns:
             batch = batch.select(self.columns)
-        rows = [
-            encode_block(sub, hints=self.hints)
-            for sub in split_by_bytes(batch, self.target_block_bytes)
-        ]
-        if not rows:
+        subs = split_by_bytes(batch, self.target_block_bytes)
+        if not subs:
             return BLOCK_SCHEMA.empty_table()
+        # plan once per batch (deterministic: derived from the batch's own
+        # first sub-block), reuse across its sub-blocks
+        hints = self.hints
+        if hints is None:
+            from ..codecs.select import plan_table
+
+            hints = plan_table(subs[0])
+        rows = [encode_block(sub, hints=hints) for sub in subs]
         return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
 
 
