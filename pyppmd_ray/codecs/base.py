@@ -97,7 +97,10 @@ def unpack_blob(blob: bytes | memoryview) -> tuple[str, dict, memoryview]:
     if cid not in _REGISTRY:
         raise CodecError(f"unknown codec id {cid}")
     mlen, pos = read_uvarint(mv, 4)
-    meta = json.loads(bytes(mv[pos : pos + mlen]).decode())
+    try:
+        meta = json.loads(bytes(mv[pos : pos + mlen]).decode())
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise CodecError(f"truncated or corrupt blob meta: {e}") from e
     return _REGISTRY[cid][0], meta, mv[pos + mlen :]
 
 

@@ -1,0 +1,116 @@
+"""Line-dictionary codec ("lined") for line-structured text (source code).
+
+The engine's partition-wide trained-dictionary stage (SURVEY.md §7.4:
+"exploit cross-row redundancy PPMd can't see — partition-wide dictionaries
+of repeated lines"): split the byte stream at newlines, dictionary-encode
+whole lines (Arrow's C kernel), then:
+
+- the line-id stream (u16/u32 LE bytes) → LZ (repeated multi-line blocks
+  and duplicate files collapse to matches) or rANS, smallest wins;
+- the distinct-line text → LZ + order-1 rANS;
+- distinct-line offsets → delta/bit-pack.
+
+On template-heavy source corpora this beats PPMd var.H (the reference
+ceiling): repeated lines cost ~1.3 bytes each here vs ~2-4 bytes of
+context-model output. The selector only picks it where it wins (CSV-like
+data with unique lines falls back to plain LZ).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import CodecError, pack_blob, read_uvarint, register, write_uvarint
+
+
+def _best_inner(data: bytes, allow_lz: bool = True) -> bytes:
+    from .lz import encode_lz
+    from .numeric import encode_raw
+    from .rans import encode_rans0
+
+    cands = [encode_raw(data)]
+    if len(data) >= 64:
+        cands.append(encode_rans0(data))
+    if len(data) >= 4096:
+        from .rans_ctx import encode_rans1
+
+        cands.append(encode_rans1(data))
+    if allow_lz and len(data) >= 256:
+        cands.append(encode_lz(data))
+    return min(cands, key=len)
+
+
+def encode_lined(data: bytes | memoryview | np.ndarray) -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    n = int(arr.size)
+    raw = arr.tobytes()
+    if n < 4096 or not (arr == 10).any():
+        return pack_blob("lined", {"n": n, "m": 0}, _best_inner(raw))
+
+    import pyarrow as pa
+
+    nl = np.flatnonzero(arr == 10)
+    offs = np.unique(np.concatenate(([0], nl + 1, [n]))).astype(np.int64)
+    n_lines = int(offs.size) - 1
+    lines = pa.Array.from_buffers(
+        pa.large_binary(), n_lines, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(raw)]
+    )
+    d = lines.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_distinct = len(d.dictionary)
+    if n_distinct > n_lines * 3 // 4:
+        # lines mostly unique → dictionary is pure overhead
+        return pack_blob("lined", {"n": n, "m": 0}, _best_inner(raw))
+
+    from .numeric import encode_int_auto
+    from .strings import strcol_from_arrow
+
+    voff, vdata = strcol_from_arrow(d.dictionary)
+    width = 2 if n_distinct <= 0xFFFF else 4
+    code_bytes = codes.astype("<u2" if width == 2 else "<u4").tobytes()
+
+    cb = _best_inner(code_bytes)
+    ob = encode_int_auto(voff)
+    vb = _best_inner(vdata)
+    payload = b"".join(
+        (write_uvarint(len(cb)), cb, write_uvarint(len(ob)), ob, vb)
+    )
+    meta = {"n": n, "m": 1, "L": n_lines, "D": n_distinct, "w": width}
+    return pack_blob("lined", meta, payload)
+
+
+def _decode_lined(meta: dict, payload: memoryview) -> bytes:
+    from .base import decode_blob
+
+    if meta["m"] == 0:
+        return decode_blob(payload)
+    n = meta["n"]
+    clen, pos = read_uvarint(payload, 0)
+    code_bytes = decode_blob(payload[pos : pos + clen])
+    pos += clen
+    olen, pos2 = read_uvarint(payload, pos)
+    voff = np.asarray(decode_blob(payload[pos2 : pos2 + olen]), dtype=np.int64)
+    vdata = decode_blob(payload[pos2 + olen :])
+    codes = np.frombuffer(code_bytes, dtype="<u2" if meta["w"] == 2 else "<u4").astype(
+        np.int64
+    )
+    if codes.size != meta["L"]:
+        raise CodecError("lined code count mismatch")
+    lens = np.diff(voff)
+    out_lens = lens[codes]
+    out_off = np.concatenate(([0], np.cumsum(out_lens)))
+    total = int(out_off[-1])
+    if total != n:
+        raise CodecError("lined length mismatch")
+    src = np.frombuffer(vdata, dtype=np.uint8)
+    out = np.empty(total, dtype=np.uint8)
+    if total:
+        starts = voff[:-1][codes]
+        row_of_byte = np.repeat(np.arange(codes.size), out_lens)
+        within = np.arange(total) - np.repeat(out_off[:-1], out_lens)
+        out[:] = src[starts[row_of_byte] + within]
+    return out.tobytes()
+
+
+register(18, "lined", _decode_lined)

@@ -36,7 +36,12 @@ def _best_bytes_blob(data: bytes) -> bytes:
 
     if len(data) < 64:
         return encode_raw(data)
-    return min(encode_raw(data), encode_rans0(data), key=len)
+    cands = [encode_raw(data), encode_rans0(data)]
+    if len(data) >= 4096:
+        from .rans_ctx import encode_rans1
+
+        cands.append(encode_rans1(data))
+    return min(cands, key=len)
 
 
 # ------------------------------------------------------------ bit packing

@@ -21,11 +21,18 @@ from .strings import StrCol, dict_encode_strcol, strcol_from_arrow
 SAMPLE_BYTES = 32 << 10
 # candidate byte-stream codecs with a small cost bias: prefer the cheaper
 # codec unless the expensive one is clearly smaller
+from .rans_ctx import encode_rans1
+from .lined import encode_lined
+
 _BYTE_TRIALS = (
     ("raw", encode_raw, 1.00),
     ("rans0", encode_rans0, 1.02),
+    ("rans1", encode_rans1, 1.03),
     ("fsst", encode_fsst, 1.05),
     ("lz", encode_lz, 1.08),
+    # no cost bias: line-dictionary gains GROW with block size (more line
+    # repeats than any sample shows), so never penalize it at trial time
+    ("lined", encode_lined, 1.00),
 )
 
 
@@ -85,8 +92,42 @@ def plan_strcol(col: StrCol) -> dict:
     else:
         hints["layout"] = "strs"
     avg_len = int(offsets[-1]) / max(1, n)
-    hints["data_codec"] = pick_byte_codec(_sample_strcol(col), avg_len=avg_len)
+    total = int(offsets[-1])
+    # line-dictionary pre-check on the FULL column (cheap C kernel):
+    # dictionary gains grow with block size, so no sample can reveal them —
+    # measure the real distinct-line ratio instead of extrapolating
+    if total > 512 << 10 and _line_dict_wins(data):
+        hints["data_codec"] = "lined"
+        return hints
+    # larger sample for big columns: dictionary-style codecs need enough
+    # rows in the sample to reveal cross-row repeats
+    sample_bytes = SAMPLE_BYTES if total < 1 << 20 else 4 * SAMPLE_BYTES
+    hints["data_codec"] = pick_byte_codec(
+        _sample_strcol(col, max_bytes=sample_bytes), avg_len=avg_len
+    )
     return hints
+
+
+def _line_dict_wins(data: bytes, max_distinct_ratio: float = 0.35) -> bool:
+    """True when splitting at newlines yields mostly-repeated lines —
+    the regime where the line-dictionary codec dominates LZ."""
+    import pyarrow as pa
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    if nl.size < 64:
+        return False
+    offs = np.unique(np.concatenate(([0], nl + 1, [arr.size]))).astype(np.int64)
+    n_lines = offs.size - 1
+    avg_line = arr.size / n_lines
+    if avg_line > 512:  # long "lines" → not line-structured text
+        return False
+    lines = pa.Array.from_buffers(
+        pa.large_binary(), n_lines,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(bytes(data))],
+    )
+    distinct = len(lines.dictionary_encode().dictionary)
+    return distinct <= n_lines * max_distinct_ratio
 
 
 def plan_table(tbl: pa.Table) -> dict[str, dict]:

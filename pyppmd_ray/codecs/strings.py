@@ -24,7 +24,7 @@ from .rans import encode_rans0
 
 StrCol = tuple[np.ndarray, bytes]
 
-BYTE_CODECS = ("raw", "rans0", "fsst", "lz")
+BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined")
 
 
 def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
@@ -33,11 +33,16 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
     (the per-partition selector's decision) to skip per-block trials."""
     if sample_hint is not None:
         allowed = (sample_hint,)
+    from .rans_ctx import encode_rans1
+    from .lined import encode_lined
+
     enc = {
         "raw": encode_raw,
         "rans0": encode_rans0,
+        "rans1": encode_rans1,
         "fsst": encode_fsst,
         "lz": encode_lz,
+        "lined": encode_lined,
     }
     if len(data) < 64:
         allowed = ("raw",)

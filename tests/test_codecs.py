@@ -176,3 +176,41 @@ class TestRaw:
     def test_roundtrip(self):
         assert decode_blob(encode_raw(b"hello")) == b"hello"
         assert decode_blob(encode_raw(b"")) == b""
+
+
+class TestRans1:
+    @pytest.mark.parametrize(
+        "data",
+        [b"", b"a" * 100, SENTENCE, CODE_SAMPLE * 20,
+         np.random.default_rng(9).integers(0, 256, 80_000).astype(np.uint8).tobytes()],
+    )
+    def test_roundtrip(self, data):
+        from pyppmd_ray.codecs.rans_ctx import encode_rans1
+
+        assert decode_blob(encode_rans1(data)) == data
+
+    def test_beats_order0_on_text(self):
+        from pyppmd_ray.codecs.rans_ctx import encode_rans1
+
+        data = CODE_SAMPLE * 20
+        assert len(encode_rans1(data)) < len(encode_rans0(data))
+
+
+class TestLined:
+    @pytest.mark.parametrize(
+        "data",
+        [b"", b"no newlines here", b"a\nb\nc\n", CODE_SAMPLE * 40,
+         b"\n" * 5000, (b"x" * 300 + b"\n") * 100,
+         b"line one\nline two\nline one\nline three" * 200],
+    )
+    def test_roundtrip(self, data):
+        from pyppmd_ray.codecs.lined import encode_lined
+
+        assert decode_blob(encode_lined(data)) == data
+
+    def test_wins_on_repeated_lines(self):
+        from pyppmd_ray.codecs.lined import encode_lined
+        from pyppmd_ray.codecs.lz import encode_lz
+
+        data = CODE_SAMPLE * 40
+        assert len(encode_lined(data)) < len(data) // 10

@@ -1,0 +1,60 @@
+"""Ratio gate vs the reference (SURVEY.md §7.1 step 8, BASELINE.md).
+
+The north rule: engine compressed size ≤ pyppmd PPMd var.H size on the
+same partition bytes. When the reference extension is importable (built
+out-of-tree under /tmp/refbuild), compare live; otherwise assert against
+PINNED sizes measured in this sandbox (deterministic fixture, seed 42):
+
+    fixture source_files n=8000 seed=42, first 4 MiB block (3,684,182 B
+    canonical bytes) → pyppmd var.H o6/16MB = 344,129 B (10.71x)
+    [measured 2026-08-17, gcc -O3 build of /root/reference]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+PINNED = {
+    # (fixture_rows, seed, block_budget): (canonical_bytes, ppmd_varH_bytes)
+    (8000, 42, 4 << 20): (3_684_182, 344_129),
+}
+
+
+@pytest.fixture(scope="module")
+def block_and_bytes():
+    from pyppmd_ray.fixtures import generate_source_table
+    from pyppmd_ray.stages.blocks import canonical_column_bytes, encode_block, split_by_bytes
+
+    t = generate_source_table(8000, seed=42)
+    p0 = split_by_bytes(t, 4 << 20)[0]
+    row = encode_block(p0)
+    allb = b"".join(b"".join(canonical_column_bytes(p0[c])) for c in p0.column_names)
+    return row, allb
+
+
+def test_engine_beats_pinned_ppmd_size(block_and_bytes):
+    row, allb = block_and_bytes
+    exp_bytes, ppmd_size = PINNED[(8000, 42, 4 << 20)]
+    assert len(allb) == exp_bytes, (
+        "fixture drifted — re-pin the reference size for the new bytes"
+    )
+    assert row["encoded_bytes"] <= ppmd_size, (
+        f"engine {row['encoded_bytes']} > pyppmd var.H {ppmd_size}"
+    )
+
+
+def test_engine_beats_live_ppmd_if_built(block_and_bytes):
+    sys.path.insert(0, "/tmp/refbuild/src")
+    pyppmd = pytest.importorskip("pyppmd")
+    row, allb = block_and_bytes
+    ref = pyppmd.compress(allb, max_order=6, mem_size=16 << 20, variant="H")
+    assert row["encoded_bytes"] <= len(ref), (
+        f"engine {row['encoded_bytes']} > live pyppmd var.H {len(ref)}"
+    )
+    # and the reference's own round-trip contract holds for it too —
+    # var.H needs the plaintext length out-of-band (the framing wart this
+    # engine fixes; /root/reference/src/ext/_ppmdmodule.c:398-407)
+    dec = pyppmd.Ppmd7Decoder(6, 16 << 20)
+    assert dec.decode(ref, len(allb)) == allb
