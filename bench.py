@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "40000"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "120000"))
 BLOCK_BYTES = 4 << 20
 
 
@@ -76,7 +76,7 @@ def _run_bench() -> dict:
     # ---- flagship: encode source_files (auto selector, lz-heavy) ----
     t0 = time.monotonic()
     enc = encode_dataset(
-        rd.read_parquet(src_path, override_num_blocks=NUM_CPUS * 3),
+        rd.read_parquet(src_path),
         target_block_bytes=BLOCK_BYTES,
         concurrency=conc,
     ).materialize()
@@ -108,7 +108,7 @@ def _run_bench() -> dict:
     }
     t0 = time.monotonic()
     enc_fast = encode_dataset(
-        rd.read_parquet(src_path, override_num_blocks=NUM_CPUS * 3),
+        rd.read_parquet(src_path),
         target_block_bytes=BLOCK_BYTES,
         hints=hints,
         concurrency=conc,

@@ -15,6 +15,7 @@ from . import rans_ctx  # noqa: F401 (rans1)
 from . import fsst  # noqa: F401     (fsst)
 from . import lz  # noqa: F401       (lz)
 from . import lined  # noqa: F401    (lined)
+from . import fieldt  # noqa: F401   (fieldt)
 from . import strings  # noqa: F401  (strs, sdict)
 from . import column  # noqa: F401   (bshuf, boolp, plist, column)
 
@@ -24,6 +25,7 @@ from .rans_ctx import encode_rans1  # noqa: F401
 from .fsst import encode_fsst  # noqa: F401
 from .lz import encode_lz  # noqa: F401
 from .lined import encode_lined  # noqa: F401
+from .fieldt import encode_fieldt  # noqa: F401
 from .strings import encode_strings, encode_sdict, encode_bytes_auto  # noqa: F401
 from .column import encode_column  # noqa: F401
 
@@ -37,6 +39,7 @@ def encode_blob(name: str, data, **kwargs) -> bytes:
         "fsst": encode_fsst,
         "lz": encode_lz,
         "lined": encode_lined,
+        "fieldt": encode_fieldt,
         "int": encode_int_auto,
         "column": encode_column,
     }

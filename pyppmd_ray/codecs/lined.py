@@ -24,20 +24,33 @@ from .base import CodecError, pack_blob, read_uvarint, register, write_uvarint
 
 
 def _best_inner(data: bytes, allow_lz: bool = True) -> bytes:
+    """Best byte-stream blob. For large inputs, codecs are TRIALED on a
+    64 KiB sample and only the winner encodes the full stream — full-size
+    trials multiply memory traffic and collapse multi-worker scaling."""
     from .lz import encode_lz
     from .numeric import encode_raw
     from .rans import encode_rans0
+    from .rans_ctx import encode_rans1
 
-    cands = [encode_raw(data)]
-    if len(data) >= 64:
-        cands.append(encode_rans0(data))
-    if len(data) >= 4096:
-        from .rans_ctx import encode_rans1
+    from .rans import best_entropy_blob, estimate_rans_sizes
 
-        cands.append(encode_rans1(data))
-    if allow_lz and len(data) >= 256:
-        cands.append(encode_lz(data))
-    return min(cands, key=len)
+    n = len(data)
+    if n < 256 or not allow_lz:
+        return best_entropy_blob(data)
+    if n <= 96 << 10:
+        return min((best_entropy_blob(data), encode_lz(data)), key=len)
+    # two-phase: estimate entropy sizes, trial lz on a mid-stream sample,
+    # then ONE full encode of the winner
+    mid = n // 2
+    sample = data[mid : mid + (64 << 10)]
+    _, r0, r1 = estimate_rans_sizes(data)
+    lz_sample = len(encode_lz(sample))
+    lz_est = int(lz_sample * (n / len(sample)) * 0.9)  # lz improves with window
+    if lz_est < min(r0, r1, n):
+        blob = encode_lz(data)
+        if len(blob) < min(r0, r1, n + 16):
+            return blob
+    return best_entropy_blob(data)
 
 
 def encode_lined(data: bytes | memoryview | np.ndarray) -> bytes:

@@ -36,12 +36,9 @@ def _best_bytes_blob(data: bytes) -> bytes:
 
     if len(data) < 64:
         return encode_raw(data)
-    cands = [encode_raw(data), encode_rans0(data)]
-    if len(data) >= 4096:
-        from .rans_ctx import encode_rans1
+    from .rans import best_entropy_blob
 
-        cands.append(encode_rans1(data))
-    return min(cands, key=len)
+    return best_entropy_blob(data)
 
 
 # ------------------------------------------------------------ bit packing
@@ -274,26 +271,32 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
             break
         j = mposl[p]
         # 16-gram candidate first (repeated lines/files → long match; when
-        # it is long we skip the short-gram probes entirely)
+        # it is long we skip the short-gram probes entirely). Between
+        # candidates, choose by net bit gain 8*L - bitlen(offset) — a long
+        # match at a huge offset can lose to a shorter near one
         L = 0
         c = -1
+        score = -1 << 30
         if j < n16:
             c2 = c16l[j]
             if c2 >= 0:
                 L = extend(db, c2, j, 0, n)
                 c = c2
-        if L < 32:
+                score = 8 * L - (j - c2).bit_length()
+        if L < 64:
             c1 = c6l[j]
             if c1 != c:
                 L1 = extend(db, c1, j, 0, n)
-                if L1 > L:
-                    c, L = c1, L1
+                s1 = 8 * L1 - (j - c1).bit_length()
+                if s1 > score:
+                    c, L, score = c1, L1, s1
             if L < 24:
                 cc = c6l[c1]  # one chain hop on the 6-gram chain
                 if cc >= 0 and cc != c:
                     L2 = extend(db, cc, j, 0, n)
-                    if L2 > L:
-                        c, L = cc, L2
+                    s2 = 8 * L2 - (j - cc).bit_length()
+                    if s2 > score:
+                        c, L, score = cc, L2, s2
         of = j - c
         # cost-aware acceptance: far matches must be longer to pay for
         # their offset extra bits

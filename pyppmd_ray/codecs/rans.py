@@ -39,20 +39,19 @@ def normalize_freqs(counts: np.ndarray) -> np.ndarray:
         raise CodecError("empty frequency table")
     f = np.where(counts > 0, np.maximum(1, (counts * M) // total), 0).astype(np.int64)
     diff = M - int(f.sum())
-    if diff != 0:
-        # push the drift onto the largest symbols, keeping every freq >= 1
-        order = np.argsort(-f, kind="stable")
-        i = 0
-        while diff != 0:
-            j = order[i % len(order)]
-            if f[j] > 0:
-                step = 1 if diff > 0 else -1
-                if f[j] + step >= 1:
-                    f[j] += step
-                    diff -= step
-            i += 1
-            if i > 10 * len(order) and diff != 0:
-                raise CodecError("freq normalization failed")
+    if diff > 0:
+        # dump the whole surplus on the most frequent symbol
+        f[int(np.argmax(f))] += diff
+    elif diff < 0:
+        # take from the largest symbols, each down to freq 1 at most
+        for j in np.argsort(-f, kind="stable"):
+            if diff == 0:
+                break
+            take = max(diff, 1 - int(f[j]))  # negative adjustment
+            f[j] += take
+            diff -= take
+        if diff != 0:
+            raise CodecError("freq normalization failed")
     return f.astype(_U32)
 
 
@@ -64,6 +63,11 @@ def _lane_count(n: int) -> int:
 def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, int]:
     """Encode uint8/uint16 symbols with quantized ``freqs`` (sum == M).
 
+    Round-robin lane layout (symbol i → lane i%N, step i//N) means only
+    the FINAL decode step (= first encode step here) is partially active;
+    every other step runs mask-free. Per-symbol (freq, start) arrays are
+    gathered once up front.
+
     Returns (stream_bytes, final_states_u32, n_lanes).
     """
     sym = np.ascontiguousarray(symbols)
@@ -71,53 +75,61 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
     N = _lane_count(n)
     f_tab = freqs.astype(_U32)
     start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(_U32)
+    fa = f_tab[sym].astype(_U64)
+    sa = start_tab[sym].astype(_U64)
 
-    states = np.full(N, RANS_L, dtype=_U32)
+    states = np.full(N, RANS_L, dtype=_U64)
     T = -(-n // N) if n else 0
     chunks: list[np.ndarray] = []
     x_max_base = _U64((RANS_L >> PROB_BITS) << 8)
+    eight = _U64(8)
+    pbits = _U64(PROB_BITS)
+    ff = _U64(0xFF)
 
     for t in range(T - 1, -1, -1):
-        idx = t * N + np.arange(N)
-        active = idx < n
-        s = sym[np.minimum(idx, n - 1)]
-        f = f_tab[s].astype(_U64)
-        st = start_tab[s].astype(_U64)
-        x = states.astype(_U64)
-
+        lo = t * N
+        f = fa[lo : lo + N]
+        st = sa[lo : lo + N]
+        x = states
+        if f.size < N:  # only possible at t == T-1 (partial last step)
+            act = f.size
+            x = states[:act]
         x_max = x_max_base * f
-        c = np.zeros(N, dtype=np.int64)
-        c[active & (x >= x_max)] = 1
-        c[active & ((x >> _U64(8)) >= x_max)] = 2
+        need1 = x >= x_max
+        need2 = (x >> eight) >= x_max
+        c = need1.view(np.int8).astype(np.int64)
+        c += need2.view(np.int8)
         total = int(c.sum())
         if total:
-            ofs = np.concatenate(([0], np.cumsum(c)))[:-1]
+            ofs = np.cumsum(c)
             chunk = np.empty(total, dtype=np.uint8)
-            m1 = c >= 1
-            m2 = c == 2
             # decode reads the last-emitted byte first → byte2 precedes byte1
-            chunk[ofs[m2]] = ((x[m2] >> _U64(8)) & _U64(0xFF)).astype(np.uint8)
-            chunk[ofs[m1] + (c[m1] - 1)] = (x[m1] & _U64(0xFF)).astype(np.uint8)
-            x = x >> (_U64(8) * c.astype(_U64))
+            chunk[ofs[need2] - 1] = (x[need2] & ff).astype(np.uint8)
+            chunk[ofs[need1] - c[need1]] = ((x[need1] >> (eight * need2[need1])) & ff).astype(np.uint8)
+            x = x >> (eight * c.astype(_U64))
             chunks.append(chunk)
+        nx = ((x // f) << pbits) + (x % f) + st
+        if nx.size < N:
+            states = states.copy()
+            states[: nx.size] = nx
         else:
-            chunks.append(np.empty(0, dtype=np.uint8))
-
-        nx = ((x // f) << _U64(PROB_BITS)) + (x % f) + st
-        states = np.where(active, nx, states.astype(_U64)).astype(_U32)
+            states = nx
 
     chunks.reverse()
     stream = np.concatenate(chunks).tobytes() if chunks else b""
-    return stream, states, N
+    return stream, states.astype(_U32), N
 
 
 def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
                 freqs: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`rans_encode`; returns uint16 symbol array of length n."""
-    f_tab = freqs.astype(_U32)
-    start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(_U32)
+    """Inverse of :func:`rans_encode`; returns uint16 symbol array of length n.
+
+    Mask-free main loop: only the final step is partially active, and the
+    output slice per step is contiguous (round-robin layout transposed)."""
+    f_tab = freqs.astype(np.int64)
+    start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(np.int64)
     slot2sym = np.repeat(
-        np.arange(len(f_tab), dtype=np.uint16), f_tab.astype(np.int64)
+        np.arange(len(f_tab), dtype=np.uint16), f_tab
     )
     if slot2sym.size != M:
         raise CodecError("corrupt frequency table")
@@ -127,34 +139,83 @@ def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
     ptr = 0
     T = -(-n // N) if n else 0
     mask = _U64(M - 1)
+    eight = _U64(8)
+    pbits = _U64(PROB_BITS)
+    L = _U64(RANS_L)
+    L8 = _U64(RANS_L >> 8)
 
     for t in range(T):
-        idx = t * N + np.arange(N)
-        active = idx < n
+        lo = t * N
+        if lo + N > n:  # partial final step
+            x = x[: n - lo]
         slot = (x & mask).astype(np.int64)
         s = slot2sym[slot]
-        out[idx[active]] = s[active]
+        out[lo : lo + s.size] = s
         f = f_tab[s].astype(_U64)
         st = start_tab[s].astype(_U64)
-        nx = f * (x >> _U64(PROB_BITS)) + (x & mask) - st
-        x = np.where(active, nx, x)
+        x = f * (x >> pbits) + (x & mask) - st
 
-        c = np.zeros(N, dtype=np.int64)
-        c[active & (x < _U64(RANS_L))] = 1
-        c[active & (x < _U64(RANS_L >> 8))] = 2
+        need1 = x < L
+        need2 = x < L8
+        c = need1.view(np.int8).astype(np.int64)
+        c += need2.view(np.int8)
         total = int(c.sum())
         if total:
-            ofs = ptr + np.concatenate(([0], np.cumsum(c)))[:-1]
-            m1 = c >= 1
-            m2 = c == 2
-            x1 = x.copy()
-            b1 = buf[ofs[m1]].astype(_U64)
-            x1[m1] = (x1[m1] << _U64(8)) | b1
-            b2 = buf[ofs[m2] + 1].astype(_U64)
-            x1[m2] = (x1[m2] << _U64(8)) | b2
-            x = x1
+            ofs = ptr + np.cumsum(c)
+            b1 = buf[ofs[need1] - c[need1]].astype(_U64)
+            x[need1] = (x[need1] << eight) | b1
+            b2 = buf[ofs[need2] - 1].astype(_U64)
+            x[need2] = (x[need2] << eight) | b2
             ptr += total
     return out
+
+
+# ---------------------------------------------------- size estimation
+
+def estimate_rans_sizes(data: bytes | np.ndarray) -> tuple[int, int, int]:
+    """(raw, ~rans0, ~rans1) encoded sizes from byte/bigram histograms —
+    O(n) with two bincounts, no trial encodes. Estimates include header
+    overheads; rans1 uses the ideal order-1 entropy × a small fudge for
+    its 16-class context quantization."""
+    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    n = int(arr.size)
+    if n == 0:
+        return 0, 24, 42
+    c0 = np.bincount(arr, minlength=256).astype(np.float64)
+    p0 = c0[c0 > 0] / n
+    h0 = float(-(p0 * np.log2(p0)).sum())
+    A = int(arr.max()) + 1
+    N = _lane_count(n)
+    rans0 = int(n * h0 / 8) + (A * 13 + 7) // 8 + 4 * N + 24
+    if n >= 4096:
+        big = np.bincount(
+            arr[:-1].astype(np.int64) * 256 + arr[1:], minlength=65536
+        ).astype(np.float64)
+        big = big[big > 0]
+        pj = big / (n - 1)
+        hj = float(-(pj * np.log2(pj)).sum())  # H(prev, cur)
+        h1 = max(hj - h0, 0.1)
+        rans1 = int(n * h1 * 1.06 / 8) + 16 * (A * 13 + 7) // 8 + 4 * N + 170
+    else:
+        rans1 = 1 << 60
+    return n + 16, rans0, rans1
+
+
+def best_entropy_blob(data: bytes) -> bytes:
+    """Encode with raw/rans0/rans1, chosen by estimate — ONE encode total."""
+    from .numeric import encode_raw
+
+    raw_sz, r0_sz, r1_sz = estimate_rans_sizes(data)
+    best = min((raw_sz, 0), (r0_sz, 1), (r1_sz, 2))[1]
+    if best == 2:
+        from .rans_ctx import encode_rans1
+
+        return encode_rans1(data)
+    if best == 1:
+        blob = encode_rans0(data)
+        if len(blob) < len(data) + 16:
+            return blob
+    return encode_raw(data)
 
 
 # ------------------------------------------------------------- blob codec

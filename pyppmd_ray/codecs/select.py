@@ -23,6 +23,7 @@ SAMPLE_BYTES = 32 << 10
 # codec unless the expensive one is clearly smaller
 from .rans_ctx import encode_rans1
 from .lined import encode_lined
+from .fieldt import encode_fieldt
 
 _BYTE_TRIALS = (
     ("raw", encode_raw, 1.00),
@@ -33,6 +34,7 @@ _BYTE_TRIALS = (
     # no cost bias: line-dictionary gains GROW with block size (more line
     # repeats than any sample shows), so never penalize it at trial time
     ("lined", encode_lined, 1.00),
+    ("fieldt", encode_fieldt, 1.00),
 )
 
 

@@ -24,7 +24,7 @@ from .rans import encode_rans0
 
 StrCol = tuple[np.ndarray, bytes]
 
-BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined")
+BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined", "fieldt")
 
 
 def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
@@ -35,6 +35,7 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
         allowed = (sample_hint,)
     from .rans_ctx import encode_rans1
     from .lined import encode_lined
+    from .fieldt import encode_fieldt
 
     enc = {
         "raw": encode_raw,
@@ -43,6 +44,7 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
         "fsst": encode_fsst,
         "lz": encode_lz,
         "lined": encode_lined,
+        "fieldt": encode_fieldt,
     }
     if len(data) < 64:
         allowed = ("raw",)

@@ -214,3 +214,25 @@ class TestLined:
 
         data = CODE_SAMPLE * 40
         assert len(encode_lined(data)) < len(data) // 10
+
+
+class TestFieldt:
+    @pytest.mark.parametrize(
+        "data",
+        [b"", b"a,b\n", b"no delims", b"1,2,3\n4,5\n6,7,8\n" * 500,
+         b"x/y/z\n" * 2000,
+         b"Alice,3,14.50\nBob,27,0.99\n" * 800,
+         b"a,-5,0.00\nb,0,123.45\n" * 600],
+    )
+    def test_roundtrip(self, data):
+        from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+        assert decode_blob(encode_fieldt(data)) == data
+
+    def test_typed_fields_win(self):
+        from pyppmd_ray.codecs.fieldt import encode_fieldt
+        from pyppmd_ray.codecs.rans import best_entropy_blob
+
+        rows = b"".join(b"cat%d,%d,%d.%02d\n" % (i % 5, i * 37, i % 900, i % 100)
+                        for i in range(4000))
+        assert len(encode_fieldt(rows)) < len(best_entropy_blob(rows))
