@@ -200,23 +200,30 @@ def _run_scaling() -> dict:
     lo_n, hi_n = 8, 32
     lo = run(lo_n)
     hi = run(hi_n)
-    # scaling on the flagship encode stage (CPU-bound, embarrassingly
-    # parallel over blocks — the stage the north rule measures)
-    t_lo = lo["queries"]["encode_source"] + lo["queries"]["encode_source_fast"]
-    t_hi = hi["queries"]["encode_source"] + hi["queries"]["encode_source_fast"]
-    eff = (t_lo * lo_n) / (t_hi * hi_n)
+
+    def eff(stage_keys):
+        t_lo = sum(lo["queries"][k] for k in stage_keys)
+        t_hi = sum(hi["queries"][k] for k in stage_keys)
+        return t_lo, t_hi, round((t_lo * lo_n) / (t_hi * hi_n), 3)
+
+    # headline: the flagship north-rule job = encode (auto selector).
+    # Same input, identical deterministic blocks at both levels.
+    t_lo, t_hi, e_enc = eff(["encode_source"])
+    _, _, e_dec = eff(["decode_source"])
+    _, _, e_fast = eff(["encode_source_fast"])
+    _, _, e_all = eff(["encode_source", "decode_source", "encode_source_fast"])
+    bytes_in = lo["extra"]["source_bytes_in"]
     return {
-        "metric": "scaling efficiency (encode), num_cpus 8 -> 32",
-        "value": round(eff, 3),
+        "metric": "scaling efficiency (flagship encode), num_cpus 8 -> 32",
+        "value": e_enc,
         "unit": "efficiency",
         "sec_8": t_lo,
         "sec_32": t_hi,
-        "throughput_8_MBps": round(
-            lo["extra"]["source_bytes_in"] * 2 / 1e6 / t_lo, 1
-        ),
-        "throughput_32_MBps": round(
-            hi["extra"]["source_bytes_in"] * 2 / 1e6 / t_hi, 1
-        ),
+        "throughput_8_MBps": round(bytes_in / 1e6 / t_lo, 1),
+        "throughput_32_MBps": round(bytes_in / 1e6 / t_hi, 1),
+        "efficiency_decode": e_dec,
+        "efficiency_fast_path": e_fast,
+        "efficiency_all_stages": e_all,
         "full_8": lo,
         "full_32": hi,
     }
