@@ -79,7 +79,9 @@ def _encode_field(vals: list[bytes], depth: int) -> bytes:
     if vals and all(_INT_RE.match(v) for v in vals):
         ints = np.array([int(v) for v in vals], dtype=np.int64)
         blob = bytes([MODE_INT]) + encode_int_auto(ints)
-        if len(blob) < len(joined):
+        # exactness check: re-formatting must reproduce every value
+        # byte-for-byte (the regex pre-filters, this is the guarantee)
+        if len(blob) < len(joined) and _decode_field(memoryview(blob), len(vals)) == vals:
             return blob
     elif vals and all(_DEC_RE.match(v) for v in vals):
         cents = np.array(
@@ -90,7 +92,8 @@ def _encode_field(vals: list[bytes], depth: int) -> bytes:
             dtype=np.int64,
         )
         blob = bytes([MODE_DEC2]) + encode_int_auto(cents)
-        if len(blob) < len(joined):
+        # catches e.g. b"-0.00" (sign lost through cents == 0)
+        if len(blob) < len(joined) and _decode_field(memoryview(blob), len(vals)) == vals:
             return blob
     if depth >= MAX_DEPTH or len(joined) < 8192:
         return bytes([MODE_BYTES]) + best_entropy_blob(joined)

@@ -236,3 +236,18 @@ class TestFieldt:
         rows = b"".join(b"cat%d,%d,%d.%02d\n" % (i % 5, i * 37, i % 900, i % 100)
                         for i in range(4000))
         assert len(encode_fieldt(rows)) < len(best_entropy_blob(rows))
+
+    def test_negative_zero_decimal_roundtrip(self):
+        from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+        data = b"a,-0.00\nb,1.50\n" * 3000  # sign lost through cents==0 unless verified
+        assert decode_blob(encode_fieldt(data)) == data
+
+    def test_lined_u32_codes(self):
+        from pyppmd_ray.codecs.lined import encode_lined
+
+        # >65535 distinct lines forces the u32 code path, with enough
+        # repeats to keep the dictionary worthwhile
+        lines = [b"ln%d" % i for i in range(70000)] + [b"dup"] * 40000
+        data = b"\n".join(lines) + b"\n"
+        assert decode_blob(encode_lined(data)) == data
