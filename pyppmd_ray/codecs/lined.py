@@ -110,20 +110,24 @@ def _decode_lined(meta: dict, payload: memoryview) -> bytes:
     )
     if codes.size != meta["L"]:
         raise CodecError("lined code count mismatch")
-    lens = np.diff(voff)
-    out_lens = lens[codes]
-    out_off = np.concatenate(([0], np.cumsum(out_lens)))
-    total = int(out_off[-1])
-    if total != n:
+    # reconstruction via Arrow's C take kernel — the numpy gather needs
+    # ~24B of int64 index temporaries per output byte and saturates memory
+    # bandwidth under multi-worker decode
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    values = pa.Array.from_buffers(
+        pa.large_binary(),
+        int(voff.size) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(voff)), pa.py_buffer(vdata)],
+    )
+    taken = pc.take(values, pa.array(codes, type=pa.int64()))
+    from .strings import strcol_from_arrow
+
+    _, out = strcol_from_arrow(taken)
+    if len(out) != n:
         raise CodecError("lined length mismatch")
-    src = np.frombuffer(vdata, dtype=np.uint8)
-    out = np.empty(total, dtype=np.uint8)
-    if total:
-        starts = voff[:-1][codes]
-        row_of_byte = np.repeat(np.arange(codes.size), out_lens)
-        within = np.arange(total) - np.repeat(out_off[:-1], out_lens)
-        out[:] = src[starts[row_of_byte] + within]
-    return out.tobytes()
+    return out
 
 
 register(18, "lined", _decode_lined)

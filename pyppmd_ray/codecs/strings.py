@@ -134,19 +134,17 @@ def _decode_sdict(meta: dict, payload: memoryview) -> StrCol:
     clen, pos = read_uvarint(payload, 0)
     codes = np.asarray(decode_blob(payload[pos : pos + clen]), dtype=np.int64)
     voff, vdata = decode_blob(payload[pos + clen :])
-    lens = np.diff(voff)
-    out_lens = lens[codes]
-    out_off = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int64)
-    total = int(out_off[-1])
-    src = np.frombuffer(vdata, dtype=np.uint8)
-    out = np.empty(total, dtype=np.uint8)
-    # gather value bytes per row: vectorized index construction
-    if total:
-        starts = voff[:-1][codes]                       # per-row source start
-        row_of_byte = np.repeat(np.arange(codes.size), out_lens)
-        within = np.arange(total) - np.repeat(out_off[:-1], out_lens)
-        out[:] = src[starts[row_of_byte] + within]
-    return out_off, out.tobytes()
+    # Arrow C take kernel: gathers rows without per-byte index temporaries
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    values = pa.Array.from_buffers(
+        pa.large_binary(),
+        int(voff.size) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(voff)), pa.py_buffer(vdata)],
+    )
+    taken = pc.take(values, pa.array(codes, type=pa.int64()))
+    return strcol_from_arrow(taken)
 
 
 register(11, "strs", _decode_strings)

@@ -1,0 +1,181 @@
+"""Tests for the training-data pipeline operators (functions/)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyppmd_ray.functions.dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_neardup_pairs,
+    minhash_bands,
+    candidate_pairs_from_bands,
+    ngram_jaccard,
+)
+from pyppmd_ray.functions.multimodal import MediaDecoder, frame_sample_plan, to_payload_table
+from pyppmd_ray.functions.text import (
+    LangId,
+    QualityScorer,
+    TokenCounter,
+    WinnowFingerprinter,
+    sha256_hex_column,
+)
+
+
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "the quick brown fox jumps over the lazy dog and runs away quickly",
+        "der hund ist nicht auf der wiese und das ist gut so",
+        "le chat est dans la maison et il est pour que",
+        "el perro es un animal y la casa es para que",
+        "这 是 一个 中文 文档 的 例子 有 很多 词",
+        "",
+        "completely different text about compression engines and ray data",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+class TestText:
+    def test_token_counter(self):
+        out = TokenCounter()(docs_table())
+        assert out["n_tokens"].to_pylist()[6] == 0
+        assert out["n_tokens"].to_pylist()[0] == 13
+
+    def test_lang_id_hits_expected_languages(self):
+        out = LangId()(docs_table())
+        preds = out["pred_lang"].to_pylist()
+        assert preds[0] == "en" and preds[2] == "de" and preds[5] == "zh"
+        assert preds[3] == "fr" and preds[4] == "es"
+
+    def test_quality_scorer_fields(self):
+        out = QualityScorer()(docs_table())
+        assert out.num_rows == 8
+        assert out["n_tokens"].to_pylist()[6] == 0
+        assert 0 <= out["stopword_ratio"].to_pylist()[0] <= 1
+
+    def test_sha_column_matches_hashlib(self):
+        import hashlib
+
+        out = sha256_hex_column(docs_table())
+        t = docs_table()["text"].to_pylist()
+        assert out["fp"].to_pylist()[0] == hashlib.sha256(t[0].encode()).hexdigest()
+
+    def test_winnow_deterministic(self):
+        a = WinnowFingerprinter()(docs_table())
+        b = WinnowFingerprinter()(docs_table())
+        assert a.equals(b)
+        # near-identical docs share most fingerprints → equal xor unlikely;
+        # just require non-trivial output for non-empty docs
+        assert a["n_fp"].to_pylist()[0] > 0
+
+
+class TestDedup:
+    def test_minhash_near_dup_pair_found(self):
+        mh = MinHasher(num_hashes=64)
+        sigs = mh(docs_table())
+        bands = minhash_bands(sigs, bands=16, rows=4)
+        pairs = candidate_pairs_from_bands(bands)
+        assert (0, 1) in pairs  # docs 0/1 differ by one word
+        s0 = np.asarray(sigs["sig"][0].as_py())
+        s1 = np.asarray(sigs["sig"][1].as_py())
+        est = float(np.mean(s0 == s1))
+        true_j = ngram_jaccard(
+            docs_table()["text"][0].as_py(), docs_table()["text"][1].as_py(), n=3
+        )
+        assert est > 0.4 and true_j > 0.5
+
+    def test_simhash_similar_docs_close(self):
+        out = SimHasher()(docs_table())
+        h = out["simhash"].to_pylist()
+        d01 = bin(h[0] ^ h[1]).count("1")
+        d07 = bin(h[0] ^ h[7]).count("1")
+        assert d01 < d07  # near-dups closer in hamming space
+
+    def test_embedding_neardup(self):
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=8)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [base.tolist(), (base + 1e-6).tolist(), rng.normal(size=8).tolist()],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pairs = embedding_neardup_pairs(tbl, threshold=0.99)
+        assert pairs.num_rows == 1
+        assert pairs["vec_id_a"][0].as_py() == 0 and pairs["vec_id_b"][0].as_py() == 1
+
+    def test_ngram_jaccard_bounds(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c", "x y z") == 0.0
+        assert ngram_jaccard("", "") == 1.0
+
+
+class TestMultimodal:
+    def test_payload_and_decode_stub(self):
+        p = to_payload_table(docs_table())
+        assert p["n_bytes"].to_pylist()[6] == 0
+        out = MediaDecoder(decode_stub=True)(p)
+        assert out.num_rows == 8
+        assert len(out["feature"][0].as_py()) == 8
+        # deterministic fake features
+        out2 = MediaDecoder(decode_stub=True)(p)
+        assert out.equals(out2)
+
+    def test_decode_without_stub_raises(self):
+        p = to_payload_table(docs_table())
+        with pytest.raises(NotImplementedError):
+            MediaDecoder(decode_stub=False)(p)
+
+    def test_frame_sample_plan(self):
+        p = to_payload_table(docs_table())
+        frames = frame_sample_plan(p, every_n=5)
+        assert frames.num_rows >= p.num_rows  # at least frame 0 per doc
+        assert set(frames.column_names) == {"doc_id", "frame_idx"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributed:
+    def test_dedup_exact_keeps_min_id(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import dedup_exact
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(["dup", "dup", "uniq", "dup"]),
+            }
+        )
+        out = pa.concat_tables(
+            dedup_exact(rd.from_arrow(tbl)).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        kept = dict(zip(out["text"].to_pylist(), out["doc_id"].to_pylist()))
+        assert kept == {"dup": 1, "uniq": 2}
+
+    def test_brute_force_topk_self_hit(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.ann import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(50, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(50), type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            }
+        )
+        q = emb[:3]
+        out = brute_force_topk(rd.from_arrow(tbl), q, k=5, concurrency=2)
+        for qi in range(3):
+            rows = out.filter(pa.compute.equal(out["q"], qi))
+            assert rows["vec_id"][0].as_py() == qi  # self is rank 0
+        lsh = lsh_topk(rd.from_arrow(tbl), q, k=5, n_bits=4, concurrency=2)
+        assert lsh.num_rows == 15
