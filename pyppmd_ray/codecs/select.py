@@ -53,28 +53,40 @@ def _sample_strcol(col: StrCol, max_bytes: int = SAMPLE_BYTES) -> bytes:
 
 
 def pick_byte_codec(sample: bytes, avg_len: float | None = None) -> str:
-    """Trial-encode the sample; prune trials that can't win:
-    - fsst targets short-string columns (paths/ids) — skip when rows are
-      long (lz sees the same redundancy plus long matches);
-    - lz needs enough bytes to amortize its tables."""
-    if len(sample) < 64:
+    """Pick the byte-stream codec for a column from a sample.
+
+    Entropy codecs (raw/rans0/rans1) are scored by O(n) histogram
+    ESTIMATES; only structure-dependent codecs (fsst/lz/lined/fieldt) get
+    real trial encodes, each gated by a cheap structural probe — planning
+    must stay a small fraction of encoding."""
+    from .rans import estimate_rans_sizes
+
+    n = len(sample)
+    if n < 64:
         return "raw"
-    skip = set()
-    if avg_len is not None and avg_len > 96:
-        skip.add("fsst")
-    if len(sample) < 4096:
-        skip.add("lz")
-    best_name, best_score = "raw", float(len(sample))
-    for name, enc, bias in _BYTE_TRIALS:
-        if name in skip:
-            continue
+    raw_sz, r0, r1 = estimate_rans_sizes(sample)
+    scored: list[tuple[float, str]] = [
+        (float(raw_sz), "raw"),
+        (r0 * 1.02, "rans0"),
+        (r1 * 1.03, "rans1"),
+    ]
+    trials: list[tuple[str, object, float]] = []
+    if avg_len is None or avg_len <= 96:
+        trials.append(("fsst", encode_fsst, 1.05))
+    if n >= 4096 and (avg_len is None or avg_len > 32):
+        trials.append(("lz", encode_lz, 1.08))
+    if sample.count(b"\n", 0, 8192) >= 16:
+        trials.append(("lined", encode_lined, 1.00))
+        from .fieldt import _detect
+
+        if _detect(sample.split(b"\n")[:512])[0] is not None:
+            trials.append(("fieldt", encode_fieldt, 1.00))
+    for name, enc, bias in trials:
         try:
-            size = len(enc(sample)) * bias
+            scored.append((len(enc(sample)) * bias, name))
         except Exception:
             continue
-        if size < best_score:
-            best_name, best_score = name, size
-    return best_name
+    return min(scored)[1]
 
 
 def plan_strcol(col: StrCol) -> dict:
