@@ -1,0 +1,123 @@
+"""CLI: ``python -m pyppmd_ray <command>`` — the engine's job entry points.
+
+Commands (each owns its Ray session; `ray job submit` compatible):
+
+  encode  INPUT OUT_DIR [--columns a,b] [--block-bytes N] [--no-resume]
+          resumable distributed encode of a parquet table/dir
+  decode  OUT_DIR DEST   decode blocks back to parquet rows
+  verify  INPUT OUT_DIR  per-row sha256 + column-hash verification
+  ingest  SRC_DIR DEST   directory of source files → north-rule parquet
+  stats   OUT_DIR        per-unit lineage/metrics summary from manifests
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pyppmd_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input")
+    e.add_argument("out_dir")
+    e.add_argument("--columns", default=None)
+    e.add_argument("--block-bytes", type=int, default=16 << 20)
+    e.add_argument("--no-resume", action="store_true")
+
+    d = sub.add_parser("decode")
+    d.add_argument("out_dir")
+    d.add_argument("dest")
+
+    v = sub.add_parser("verify")
+    v.add_argument("input")
+    v.add_argument("out_dir")
+
+    i = sub.add_parser("ingest")
+    i.add_argument("src_dir")
+    i.add_argument("dest")
+    i.add_argument("--repo", default=None)
+
+    s = sub.add_parser("stats")
+    s.add_argument("out_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "stats":  # no Ray needed
+        from pyppmd_ray.state.manifest import load_all_manifests
+
+        mans = load_all_manifests(args.out_dir)
+        bi = sum(m.get("bytes_in", 0) for m in mans)
+        bo = sum(m.get("bytes_out", 0) for m in mans)
+        print(
+            json.dumps(
+                {
+                    "units": len(mans),
+                    "rows": sum(m.get("n_rows", 0) for m in mans),
+                    "blocks": sum(m.get("n_blocks", 0) for m in mans),
+                    "bytes_in": bi,
+                    "bytes_out": bo,
+                    "ratio": round(bi / bo, 3) if bo else None,
+                }
+            )
+        )
+        return 0
+
+    _ray_init(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "encode":
+            from pyppmd_ray.pipelines import run_encode_job
+
+            cols = args.columns.split(",") if args.columns else None
+            out = run_encode_job(
+                args.input,
+                args.out_dir,
+                columns=cols,
+                target_block_bytes=args.block_bytes,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(out))
+        elif args.cmd == "decode":
+            from pyppmd_ray.pipelines import run_decode_job
+
+            run_decode_job(args.out_dir).write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest, "status": "done"}))
+        elif args.cmd == "verify":
+            from pyppmd_ray.pipelines import run_verify_job
+
+            out = run_verify_job(args.input, args.out_dir)
+            print(json.dumps(out))
+            return 0 if out["ok"] else 1
+        elif args.cmd == "ingest":
+            from pyppmd_ray.sources.source_table import read_source_files
+
+            ds = read_source_files(args.src_dir, repo=args.repo)
+            ds.write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest, "rows": ds.count()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

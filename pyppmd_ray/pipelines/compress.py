@@ -103,23 +103,72 @@ def decode_dataset(encoded: rd.Dataset, *, concurrency=None) -> rd.Dataset:
 # ---------------------------------------------------------- resumable job
 
 
-def plan_units(input_path: str | list[str], columns: list[str] | None = None) -> list[dict]:
-    """Deterministic unit list: one unit per parquet row-group fragment."""
+def plan_units(
+    input_path: str | list[str],
+    columns: list[str] | None = None,
+    *,
+    unit_bytes: int = 64 << 20,
+) -> list[dict]:
+    """Deterministic unit list: parquet row-group fragments COALESCED into
+    units of ~``unit_bytes`` (uncompressed estimate).
+
+    Tiny files/row-groups would otherwise become tiny encode blocks and
+    destroy the ratio (the per-row degenerate mode the reference measures
+    at 1.11×, BASELINE.md); at the other end one unit never exceeds a few
+    row-groups beyond the budget, keeping tasks balanced. The member list
+    is sorted and content-addresses the unit id, so the plan (and resume
+    ledger) is stable across runs."""
     dataset = pads.dataset(input_path, format="parquet")
-    units: list[dict] = []
+    frags: list[tuple[str, int, int]] = []  # (path, row_group, est_bytes)
     for frag in dataset.get_fragments():
-        rg_ids = [rg.id for rg in frag.row_groups] if frag.row_groups else [None]
-        for rg in rg_ids:
-            uid = hashlib.sha1(f"{frag.path}::{rg}".encode()).hexdigest()[:16]
-            units.append(
-                {
-                    "unit_id": uid,
-                    "path": frag.path,
-                    "row_group": -1 if rg is None else int(rg),
-                    "columns": columns,
-                }
-            )
-    return sorted(units, key=lambda u: (u["path"], u["row_group"]))
+        if frag.row_groups:
+            for rg in frag.row_groups:
+                est = int(rg.total_byte_size) if rg.total_byte_size else 1 << 20
+                frags.append((frag.path, int(rg.id), est))
+        else:
+            frags.append((frag.path, -1, 1 << 20))
+    frags.sort(key=lambda f: (f[0], f[1]))
+    units: list[dict] = []
+    members: list[tuple[str, int]] = []
+    acc = 0
+    def flush():
+        nonlocal members, acc
+        if not members:
+            return
+        key = ";".join(f"{p}::{rg}" for p, rg in members)
+        uid = hashlib.sha1(key.encode()).hexdigest()[:16]
+        units.append({"unit_id": uid, "members": list(members), "columns": columns})
+        members = []
+        acc = 0
+    for path, rg, est in frags:
+        members.append((path, rg))
+        acc += est
+        if acc >= unit_bytes:
+            flush()
+    flush()
+    return units
+
+
+
+
+def _unit_members(unit: dict) -> list:
+    m = unit.get("members")
+    if isinstance(m, str):
+        m = json.loads(m)
+    return [list(x) for x in m]
+
+
+def read_unit_table(unit: dict) -> pa.Table:
+    """Read one coalesced unit (list of (path, row_group) members)."""
+    cols = unit.get("columns")
+    if isinstance(cols, str):
+        cols = json.loads(cols) if cols else None
+    tables = []
+    for path, rg in _unit_members(unit):
+        pf = pq.ParquetFile(path)
+        t = pf.read_row_group(int(rg), columns=cols) if int(rg) >= 0 else pf.read(columns=cols)
+        tables.append(t)
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
 class EncodeUnit:
@@ -140,11 +189,7 @@ class EncodeUnit:
     def _encode_one(self, unit: dict) -> dict:
         t0 = time.monotonic()
         uid = unit["unit_id"]
-        pf = pq.ParquetFile(unit["path"])
-        if unit.get("row_group", -1) >= 0:
-            tbl = pf.read_row_group(unit["row_group"], columns=unit.get("columns"))
-        else:
-            tbl = pf.read(columns=unit.get("columns"))
+        tbl = read_unit_table(unit)
         subs = split_by_bytes(tbl, self.target_block_bytes)
         hints = self.hints
         if hints is None and subs:
@@ -165,8 +210,7 @@ class EncodeUnit:
         record = {
             "status": "done",
             "unit_id": uid,
-            "input_path": unit["path"],
-            "row_group": unit.get("row_group", -1),
+            "members": _unit_members(unit),
             "n_rows": int(tbl.num_rows),
             "n_blocks": len(rows),
             "bytes_in": unc,
@@ -192,10 +236,11 @@ def run_encode_job(
     hints: dict | None = None,
     concurrency=None,
     resume: bool = True,
+    unit_bytes: int = 64 << 20,
 ) -> dict:
     """Resumable distributed encode. Returns a summary dict."""
     os.makedirs(out_dir, exist_ok=True)
-    units = plan_units(input_path, columns)
+    units = plan_units(input_path, columns, unit_bytes=unit_bytes)
     done = completed_units(out_dir) if resume else set()
     todo = [u for u in units if u["unit_id"] not in done]
     summary = {
@@ -205,8 +250,13 @@ def run_encode_job(
     }
     if todo:
         kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
+        items = [
+            {"unit_id": u["unit_id"], "members": json.dumps(u["members"]),
+             "columns": json.dumps(u["columns"]) if u["columns"] else ""}
+            for u in todo
+        ]
         stats = (
-            rd.from_items(todo)
+            rd.from_items(items)
             .map_batches(
                 EncodeUnit,
                 fn_constructor_kwargs={
@@ -288,11 +338,7 @@ class VerifyUnit:
 
     def _verify_one(self, unit: dict) -> dict:
         uid = unit["unit_id"]
-        pf = pq.ParquetFile(unit["path"])
-        if unit.get("row_group", -1) >= 0:
-            orig = pf.read_row_group(unit["row_group"], columns=unit.get("columns"))
-        else:
-            orig = pf.read(columns=unit.get("columns"))
+        orig = read_unit_table(unit)
         blocks = pq.read_table(unit_blocks_path(self.out_dir, uid))
         decoded = (
             pa.concat_tables([decode_block(p.as_py()) for p in blocks["payload"]])
@@ -326,12 +372,17 @@ class VerifyUnit:
 
 def run_verify_job(
     input_path: str | list[str], out_dir: str, *, columns: list[str] | None = None,
-    concurrency=None,
+    concurrency=None, unit_bytes: int = 64 << 20,
 ) -> dict:
-    units = plan_units(input_path, columns)
+    units = plan_units(input_path, columns, unit_bytes=unit_bytes)
     kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
+    items = [
+        {"unit_id": u["unit_id"], "members": json.dumps(u["members"]),
+         "columns": json.dumps(u["columns"]) if u["columns"] else ""}
+        for u in units
+    ]
     res = (
-        rd.from_items(units)
+        rd.from_items(items)
         .map_batches(
             VerifyUnit,
             fn_constructor_kwargs={"out_dir": out_dir},

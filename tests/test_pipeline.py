@@ -95,10 +95,10 @@ class TestStreamingPipeline:
 class TestResumableJob:
     def test_job_and_verify(self, source_parquet, tmp_path):
         out_dir = str(tmp_path / "enc")
-        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
         assert s["units_encoded"] == 5  # 1500 rows / 300 per row-group
         assert s["ratio"] > 3.0
-        v = run_verify_job(source_parquet, out_dir)
+        v = run_verify_job(source_parquet, out_dir, unit_bytes=1)
         assert v["ok"], v
         mans = load_all_manifests(out_dir)
         assert len(mans) == 5
@@ -107,8 +107,8 @@ class TestResumableJob:
 
     def test_resume_skips_done(self, source_parquet, tmp_path):
         out_dir = str(tmp_path / "enc2")
-        s1 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
-        s2 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        s1 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
+        s2 = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
         assert s1["units_encoded"] == 5 and s2["units_encoded"] == 0
         assert s2["units_skipped"] == 5
 
@@ -117,9 +117,9 @@ class TestResumableJob:
         byte-identical output to an uninterrupted run."""
         out_a = str(tmp_path / "a")
         out_b = str(tmp_path / "b")
-        run_encode_job(source_parquet, out_a, target_block_bytes=1 << 20)
+        run_encode_job(source_parquet, out_a, target_block_bytes=1 << 20, unit_bytes=1)
         # simulate a crashed run: only 2 units completed
-        units = plan_units(source_parquet)
+        units = plan_units(source_parquet, unit_bytes=1)
         os.makedirs(out_b, exist_ok=True)
         import shutil
 
@@ -142,7 +142,7 @@ class TestResumableJob:
                 os.path.join(out_b, "blocks", f"unit-{uid}.parquet"),
             )
         assert completed_units(out_b) == keep
-        s = run_encode_job(source_parquet, out_b, target_block_bytes=1 << 20)
+        s = run_encode_job(source_parquet, out_b, target_block_bytes=1 << 20, unit_bytes=1)
         assert s["units_skipped"] == 2 and s["units_encoded"] == 3
         # byte-identical block files across the two runs
         for u in units:
@@ -154,13 +154,13 @@ class TestResumableJob:
 
     def test_torn_manifest_not_done(self, source_parquet, tmp_path):
         out_dir = str(tmp_path / "enc3")
-        run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
-        units = plan_units(source_parquet)
+        run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
+        units = plan_units(source_parquet, unit_bytes=1)
         # corrupt one manifest → that unit must be re-run
         with open(unit_manifest_path(out_dir, units[0]["unit_id"]), "w") as f:
             f.write('{"status": "do')  # torn write
         assert units[0]["unit_id"] not in completed_units(out_dir)
-        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20)
+        s = run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
         assert s["units_encoded"] == 1
 
 
