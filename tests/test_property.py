@@ -75,3 +75,17 @@ def test_streaming_blocks_roundtrip(data, block_size):
     out = c.compress(data) + c.flush()
     d = ppr.BlockDecompressor()
     assert d.decompress(out) == data
+
+
+@settings(max_examples=25, deadline=DEADLINE)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abc0123456789.-", max_size=8), min_size=3, max_size=3),
+        max_size=80,
+    )
+)
+def test_fieldt_roundtrip_structured(rows):
+    from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+    data = "\n".join(",".join(r) for r in rows).encode()
+    assert decode_blob(encode_fieldt(data)) == data
