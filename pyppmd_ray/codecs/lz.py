@@ -156,18 +156,16 @@ _POS_BITS = 24  # max 16M positions per parse segment
 _POS_MASK = np.uint64((1 << _POS_BITS) - 1)
 
 
-def _prev_occurrence_hashed(data: np.ndarray, k: int) -> np.ndarray:
-    """Nearest previous position with the same 40-bit k-gram hash.
+def _prev_from_hash(h: np.ndarray) -> np.ndarray:
+    """Nearest previous position with the same 40-bit hash.
 
     Single in-place sort of (hash << 24 | pos) — the position rides in the
     low bits, so equal-hash runs come out position-ascending and no argsort
     permutation is needed. Candidates are verified later by extension from
     length 0 (hash collisions just yield a short/failed match)."""
-    n = data.size - k + 1
+    n = h.size
     if n <= 1:
         return np.full(max(n, 0), -1, dtype=_I64)
-    g = _grams_u64(data, k)
-    h = (g * _GOLD) >> np.uint64(64 - 40)
     key = (h << np.uint64(_POS_BITS)) | np.arange(n, dtype=_U64)
     key.sort()
     pos = (key & _POS_MASK).astype(_I64)
@@ -176,6 +174,12 @@ def _prev_occurrence_hashed(data: np.ndarray, k: int) -> np.ndarray:
     same = hh[1:] == hh[:-1]
     cand[pos[1:][same]] = pos[:-1][same]
     return cand
+
+
+def _prev_occurrence_hashed(data: np.ndarray, k: int) -> np.ndarray:
+    g = _grams_u64(data, k)
+    h = (g * _GOLD) >> np.uint64(64 - 40)
+    return _prev_from_hash(h)
 
 
 def _match_lengths(data: np.ndarray, cand: np.ndarray, k: int, cap: int) -> np.ndarray:
@@ -245,8 +249,19 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
     n = int(data.size)
     if n >= 1 << _POS_BITS:
         raise CodecError("lz_parse segment too large; encode_lz must chunk")
-    c6 = _prev_occurrence_hashed(data, 6)
-    c16 = _prev_occurrence_hashed(data, 16)
+    # one 8-gram pack pass feeds BOTH tables: the 6-gram is its low 48
+    # bits; the 16-gram hash mixes g8[i] with g8[i+8] (saves ~14 full-array
+    # passes vs building each gram independently; the 2 tail positions the
+    # g8 window can't cover are a negligible candidate loss)
+    g8 = _grams_u64(data, 8)
+    shift = np.uint64(64 - 40)
+    h6 = ((g8 & np.uint64(0xFFFFFFFFFFFF)) * _GOLD) >> shift
+    c6 = _prev_from_hash(h6)
+    if g8.size > 8:
+        h16 = ((g8[:-8] * _GOLD) ^ (g8[8:] * np.uint64(0xC2B2AE3D27D4EB4F))) >> shift
+        c16 = _prev_from_hash(h16)
+    else:
+        c16 = np.full(0, -1, dtype=_I64)
     mpos = np.flatnonzero(c6 >= 0)
     db = data.tobytes()
     # memoryview scalar indexing: C-speed reads WITHOUT materializing
