@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_customer": _q_roundtrip("customer"),
         "roundtrip_part": _q_roundtrip("part"),
         "roundtrip_embeddings": _q_roundtrip("embeddings"),
+        "roundtrip_nation": _q_roundtrip("nation"),
+        "roundtrip_region": _q_roundtrip("region"),
+        "roundtrip_supplier": _q_roundtrip("supplier"),
         "chunking_invariance": _q_chunking_invariance,
         "compression_by_lang": _q_compression_by_lang,
         # dedup family
@@ -327,6 +330,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_customer": "SELECT * FROM customer",
         "roundtrip_part": "SELECT * FROM part",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "roundtrip_nation": "SELECT * FROM nation",
+        "roundtrip_region": "SELECT * FROM region",
+        "roundtrip_supplier": "SELECT * FROM supplier",
         "chunking_invariance": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "token_count": (
@@ -336,19 +342,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint_sha": "SELECT doc_id, sha256(text) AS fp FROM documents",
         "doc_stats_by_lang": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            # CAST: DuckDB sum(BIGINT) yields HUGEINT; the Ray result is int64
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "max(n_chars) AS max_chars, min(n_chars) AS min_chars "
             "FROM documents GROUP BY lang"
         ),
         "events_by_type": (
             "SELECT event_type, count(*) AS n_events, "
-            "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents "
             "FROM events GROUP BY event_type"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "sum(l_quantity) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "ann_topk": (

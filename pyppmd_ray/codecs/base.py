@@ -76,8 +76,8 @@ def codec_id(name: str) -> int:
 
 
 def codec_name(blob: bytes | memoryview) -> str:
-    cid = blob[2] if isinstance(blob, (bytes, bytearray)) else blob.obj[2]
-    return _REGISTRY[int(memoryview(blob)[2])][0]
+    # byte layout: magic(2) version(1) codec_id(1) — the codec id is index 3
+    return _REGISTRY[int(memoryview(blob)[3])][0]
 
 
 def pack_blob(name: str, meta: dict, payload: bytes | memoryview = b"") -> bytes:
@@ -89,6 +89,8 @@ def pack_blob(name: str, meta: dict, payload: bytes | memoryview = b"") -> bytes
 
 def unpack_blob(blob: bytes | memoryview) -> tuple[str, dict, memoryview]:
     mv = memoryview(blob)
+    if len(mv) < 4:
+        raise CodecError("truncated blob header")
     if bytes(mv[:2]) != MAGIC:
         raise CodecError("bad magic")
     if mv[2] != VERSION:

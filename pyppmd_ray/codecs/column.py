@@ -94,13 +94,20 @@ def str_to_type(s: str) -> pa.DataType:
 
 
 def _int_storage_view(arr: pa.Array) -> np.ndarray:
-    """int-family arrow array (no nulls) → int64 numpy."""
+    """int-family arrow array (no nulls) → int64 numpy.
+
+    uint64 is bit-reinterpreted (``view``), not value-cast: values ≥ 2^63
+    wrap to negative int64 and are un-wrapped on decode, so the full u64
+    range round-trips (int codecs all use wrapping int64 arithmetic)."""
     t = arr.type
     if pa.types.is_timestamp(t) or pa.types.is_date64(t):
         arr = arr.cast(pa.int64())
     elif pa.types.is_date32(t):
         arr = arr.cast(pa.int32())
-    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = arr.to_numpy(zero_copy_only=False)
+    if v.dtype == np.uint64:
+        return v.view(np.int64)
+    return v.astype(np.int64)
 
 
 # ------------------------------------------------------------ sub-codecs
@@ -279,6 +286,9 @@ def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> p
             return pa.array(vals, type=pa.int64()).cast(t)
         if tstr == "date32":
             return pa.array(vals.astype(np.int32), type=pa.int32()).cast(t)
+        if tstr == "u64":
+            # inverse of the encode-side bit-reinterpret (see _int_storage_view)
+            return pa.array(vals.view(np.uint64), type=pa.uint64())
         return pa.array(vals, type=pa.int64()).cast(t)
     if tstr in ("f32", "f64"):
         raw = decode_blob(payload)

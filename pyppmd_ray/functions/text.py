@@ -18,6 +18,9 @@ import pyarrow.compute as pc
 
 # whitespace class shared VERBATIM with the SQL oracle (regexp_split_to_array)
 TOKEN_SPLIT_RE = r"[ \t\n\r]+"
+# strip ONLY this char class (str.strip() would strip all Unicode whitespace,
+# diverging from the oracle's trim(text, ' \t\n\r'))
+TOKEN_STRIP_CHARS = " \t\n\r"
 
 # tiny deterministic stopword profiles for the 5 testdata languages
 _STOPWORDS = {
@@ -36,14 +39,16 @@ class TokenCounter:
         self.splitter = re.compile(TOKEN_SPLIT_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = [
-            len(self.splitter.split(t.strip())) if t is not None and t.strip() else 0
-            for t in texts
-        ]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())}
+        # vectorized: n_tokens = (# of separator runs in trimmed text) + 1
+        col = pc.fill_null(batch["text"], "")
+        trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
+        seps = pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE)
+        counts = pc.if_else(
+            pc.equal(pc.utf8_length(trimmed), 0),
+            pa.scalar(0, type=pa.int64()),
+            pc.add(pc.cast(seps, pa.int64()), 1),
         )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": counts})
 
 
 class LangId:
@@ -105,7 +110,8 @@ class QualityScorer:
         }
         for t in batch["text"].to_pylist():
             t = t or ""
-            toks = self.splitter.split(t.strip()) if t.strip() else []
+            st = t.strip(TOKEN_STRIP_CHARS)
+            toks = self.splitter.split(st) if st else []
             n = len(t)
             out["n_chars"].append(n)
             out["n_tokens"].append(len(toks))

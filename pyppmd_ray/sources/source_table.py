@@ -37,8 +37,11 @@ def read_source_files(
     """Directory tree of source files → Dataset in the north-rule shape.
 
     Uses ``read_binary_files(include_paths=True)`` (file-level read
-    parallelism); content is decoded as UTF-8 with surrogateescape so any
-    byte sequence round-trips losslessly back to the original file bytes.
+    parallelism). Content is decoded as strict UTF-8 when possible
+    (``encoding='utf-8'``); non-UTF-8 files fall back to latin-1, which maps
+    every byte to a valid codepoint (Arrow-string-safe, unlike
+    surrogateescape) and is recorded in the ``encoding`` column so
+    :func:`content_bytes` reproduces the exact original file bytes.
     """
     ds = rd.read_binary_files(
         root,
@@ -52,12 +55,19 @@ def read_source_files(
         paths = []
         langs = []
         contents = []
+        encodings = []
         for p, b in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
             ap = os.path.abspath(p)
             rel = ap[len(prefix) :].lstrip("/") if ap.startswith(prefix) else p
             paths.append(rel)
             langs.append(infer_lang(rel))
-            contents.append((b or b"").decode("utf-8", errors="surrogateescape"))
+            raw = b or b""
+            try:
+                contents.append(raw.decode("utf-8"))
+                encodings.append("utf-8")
+            except UnicodeDecodeError:
+                contents.append(raw.decode("latin-1"))
+                encodings.append("latin-1")
         n = len(paths)
         return pa.table(
             {
@@ -66,12 +76,13 @@ def read_source_files(
                 "commit": pa.array([commit] * n),
                 "lang": pa.array(langs),
                 "content": pa.array(contents, type=pa.large_string()),
+                "encoding": pa.array(encodings),
             }
         )
 
     return ds.map_batches(to_rows, batch_format="pyarrow")
 
 
-def content_bytes(text: str) -> bytes:
+def content_bytes(text: str, encoding: str = "utf-8") -> bytes:
     """Inverse of the ingestion decode — exact original file bytes."""
-    return text.encode("utf-8", errors="surrogateescape")
+    return text.encode(encoding)

@@ -179,3 +179,53 @@ class TestDistributed:
             assert rows["vec_id"][0].as_py() == qi  # self is rank 0
         lsh = lsh_topk(rd.from_arrow(tbl), q, k=5, n_bits=4, concurrency=2)
         assert lsh.num_rows == 15
+
+
+class TestTokenWhitespaceSemantics:
+    def test_oracle_char_class_only(self):
+        # \x0b, \xa0 etc. are NOT separators/trim chars (oracle parity:
+        # trim(text, ' \t\n\r') + regexp_split [ \t\n\r]+)
+        from pyppmd_ray.functions.text import TokenCounter
+
+        tc = TokenCounter()
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                "text": ["\x0bhello\x0b", "\xa0a b\xa0", "  x\ty \n", "", "   \t\n"],
+            }
+        )
+        out = tc(batch)
+        # "\x0bhello\x0b" is ONE token; "\xa0a b\xa0" splits only on the space
+        assert out["n_tokens"].to_pylist() == [1, 2, 2, 0, 0]
+
+    def test_quality_matches_token_counter(self):
+        from pyppmd_ray.functions.text import QualityScorer, TokenCounter
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": ["\x85one\x85 two", " plain text here "],
+            }
+        )
+        assert (
+            QualityScorer()(batch)["n_tokens"].to_pylist()
+            == TokenCounter()(batch)["n_tokens"].to_pylist()
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_non_utf8_file(tmp_path):
+    # round-2 ADVICE: surrogateescape decode crashed pa.array on non-UTF-8
+    from pyppmd_ray.sources import content_bytes, read_source_files
+
+    raw = b"\xff\xfe\x00binary-ish\x80"
+    (tmp_path / "weird.txt").write_bytes(raw)
+    (tmp_path / "ok.py").write_text("print('hi')\n")
+    tbl = pa.concat_tables(
+        read_source_files(str(tmp_path)).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    rows = {r["path"]: r for r in tbl.to_pylist()}
+    assert rows["weird.txt"]["encoding"] == "latin-1"
+    assert content_bytes(rows["weird.txt"]["content"], rows["weird.txt"]["encoding"]) == raw
+    assert rows["ok.py"]["encoding"] == "utf-8"
+    assert content_bytes(rows["ok.py"]["content"]) == b"print('hi')\n"
