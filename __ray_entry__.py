@@ -163,12 +163,18 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
-    from pyppmd_ray.functions.dedup import embedding_neardup_pairs
+    from pyppmd_ray.functions.dedup import embedding_neardup_ds
 
-    tbl = pa.concat_tables(
-        _ds(sf_dir, "embeddings").iter_batches(batch_size=None, batch_format="pyarrow")
+    return embedding_neardup_ds(_ds(sf_dir, "embeddings"), threshold=0.35, concurrency=_conc())
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    from pyppmd_ray.functions.dedup import embedding_neardup_lsh
+
+    out = embedding_neardup_lsh(
+        _ds(sf_dir, "embeddings"), threshold=0.35, n_bits=6, concurrency=_conc()
     )
-    return embedding_neardup_pairs(tbl, threshold=0.35)
+    return out.select_columns(["vec_id_a", "vec_id_b"])
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -217,10 +223,19 @@ def _q_lsh_ann(sf_dir: str):
     )
     ids = np.asarray(tbl["vec_id"].to_pylist())
     order = np.argsort(ids)[:4]
+    qids = ids[order]
     queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
     import ray.data as rd
 
-    return lsh_topk(rd.from_arrow(tbl), queries, k=10, concurrency=_conc())
+    out = lsh_topk(rd.from_arrow(tbl), queries, k=10, concurrency=_conc())
+    qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
+    return pa.table(
+        {
+            "q": qcol,
+            "rank": out["rank"].cast(pa.int64()),
+            "vec_id": out["vec_id"],
+        }
+    )
 
 
 def _q_multimodal(sf_dir: str):
@@ -231,7 +246,6 @@ def _q_multimodal(sf_dir: str):
         .map_batches(to_payload_table, batch_format="pyarrow")
         .map_batches(
             MediaDecoder,
-            fn_constructor_kwargs={"decode_stub": True},
             batch_format="pyarrow",
             batch_size=256,  # small batches: binary payloads are byte-heavy
             concurrency=_conc(),
@@ -241,26 +255,31 @@ def _q_multimodal(sf_dir: str):
 
 def _q_compression_by_lang(sf_dir: str):
     """Per-lang compression metrics (rows-only: compressed sizes are not
-    SQL-expressible). Demonstrates the lang-partitioned encode path."""
+    SQL-expressible). The lang-partitioned encode runs IN the cluster via
+    groupby(lang).map_groups — the scale shape for shared-dictionary
+    partitioning (no driver-side concat/loop)."""
     from pyppmd_ray.stages.blocks import encode_block
 
-    tbl = pa.concat_tables(
-        _ds(sf_dir, "documents").iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    rows = []
-    for lang in sorted(set(tbl["lang"].to_pylist())):
-        sub = tbl.filter(pa.compute.equal(tbl["lang"], lang))
-        blk = encode_block(sub.select(["text"]))
-        rows.append(
+    def enc_group(group: pa.Table) -> pa.Table:
+        blk = encode_block(group.select(["text"]))
+        return pa.table(
             {
-                "lang": lang,
-                "n_docs": sub.num_rows,
-                "bytes_in": blk["uncompressed_bytes"],
-                "bytes_out": blk["encoded_bytes"],
-                "ratio": round(blk["uncompressed_bytes"] / max(1, blk["encoded_bytes"]), 4),
+                "lang": pa.array([group["lang"][0].as_py()]),
+                "n_docs": pa.array([group.num_rows], type=pa.int64()),
+                "bytes_in": pa.array([blk["uncompressed_bytes"]], type=pa.int64()),
+                "bytes_out": pa.array([blk["encoded_bytes"]], type=pa.int64()),
+                "ratio": pa.array(
+                    [round(blk["uncompressed_bytes"] / max(1, blk["encoded_bytes"]), 4)],
+                    type=pa.float64(),
+                ),
             }
         )
-    return pa.Table.from_pylist(rows)
+
+    return (
+        _ds(sf_dir, "documents")
+        .groupby("lang")
+        .map_groups(enc_group, batch_format="pyarrow")
+    )
 
 
 def _q_chunking_invariance(sf_dir: str):
@@ -303,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # text analysis
         "token_count": _q_token_count,
         "doc_fingerprint_sha": _q_doc_sha,
@@ -319,6 +339,265 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_meta": _q_multimodal,
     }
+
+
+# -------------------------------------------------- oracle SQL builders
+#
+# The sketch operators (minhash, simhash, winnow, LSH) use hash functions
+# chosen to be exactly reproducible in DuckDB (sha256 hex prefixes, modular
+# arithmetic below 2^64, seeded-numpy constants embedded as SQL literals),
+# so the driver can value-check them like any relational query.
+
+# whitespace token class, as a SQL regex literal (real \t\n\r chars)
+_TOK_RE_SQL = "[^ \t\n\r]+"
+_TRIM_SQL = "' \t\n\r'"
+
+
+def _sql_u64_list(vals) -> str:
+    return "[" + ",".join(str(int(v)) for v in vals) + "]::UBIGINT[]"
+
+
+def _sql_str_list(vals) -> str:
+    return "[" + ",".join("'" + v.replace("'", "''") + "'" for v in sorted(vals)) + "]"
+
+
+def _sql_planes(n_bits: int, dim: int, seed: int = 42) -> str:
+    """The LshBucketer's hyperplanes (same seed/shape) as a DOUBLE[][]
+    literal — repr() is shortest-roundtrip, so DuckDB parses the identical
+    doubles."""
+    planes = np.random.default_rng(seed).normal(size=(n_bits, dim))
+    rows = ",".join("[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes)
+    return "[" + rows + "]::DOUBLE[][]"
+
+
+def _sql_bucket_expr(n_bits: int, emb: str = "embedding") -> str:
+    """bucket = sum_j (dot(emb, plane_j) > 0) << j, as SQL over pl[]."""
+    terms = [
+        f"(CASE WHEN list_inner_product({emb}::DOUBLE[], pl[{j + 1}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    ]
+    return " + ".join(terms)
+
+
+def _minhash_sql(threshold: float = 0.3) -> str:
+    from pyppmd_ray.functions.dedup import minhash_params
+
+    a, b = minhash_params(128, seed=42)
+    return f"""
+WITH consts AS (SELECT {_sql_u64_list(a)} AS ca, {_sql_u64_list(b)} AS cb),
+tok AS (SELECT doc_id, regexp_extract_all(text, '{_TOK_RE_SQL}') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3 THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ELSE array_to_string(toks, ' ') END AS shingle
+    FROM (SELECT doc_id, toks,
+            unnest(generate_series(1, GREATEST(len(toks) - 2,
+                   CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END))) AS i
+          FROM tok)
+  )
+),
+hx AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::UBIGINT AS x FROM sh),
+sigv AS (
+  SELECT doc_id, i, min((ca[i+1] * x + cb[i+1]) % 2305843009213693951::UBIGINT) AS v
+  FROM hx CROSS JOIN consts CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i) ii
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigv GROUP BY doc_id),
+bandrows AS (
+  SELECT doc_id, b, array_to_string(sig[b*8+1 : b*8+8], ',') AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bb
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x JOIN bandrows y
+    ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT p.a AS doc_id_a, p.b AS doc_id_b,
+    CAST(list_sum(list_transform(generate_series(1, 128),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128
+      AS jaccard_est
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.a
+  JOIN sig sb ON sb.doc_id = p.b
+)
+SELECT doc_id_a, doc_id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_TOK_RE_SQL}')) AS w FROM documents
+  )
+),
+h AS (SELECT doc_id, ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS hv FROM tok),
+pows AS (SELECT {_sql_u64_list([1 << j for j in range(63)])} AS p2),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS j) js
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN p2[j+1]::HUGEINT ELSE 0 END) AS BIGINT)
+    AS simhash
+  FROM bits CROSS JOIN pows GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
+def _lang_id_sql() -> str:
+    from pyppmd_ray.functions.text import _STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', {prio}, {_sql_str_list(_STOPWORDS[lang])})"
+        for prio, lang in enumerate(("de", "en", "es", "fr"), 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    length(regexp_replace(substr(text, 1, 400), '[^一-鿿]', '', 'g')) AS cjk,
+    regexp_extract_all(lower(substr(text, 1, 2000)), '[a-zà-öø-ÿ]+') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, cjk, l.lang, l.prio,
+    CAST(len(list_filter(toks, w -> list_contains(l.sw, w))) AS DOUBLE) AS s
+  FROM base CROSS JOIN (VALUES {vals}) AS l(lang, prio, sw)
+),
+pick AS (
+  SELECT doc_id, cjk, lang, s,
+    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, prio) AS rn
+  FROM scores
+)
+SELECT doc_id,
+  CASE WHEN cjk >= 4 THEN 'zh' ELSE lang END AS pred_lang,
+  CASE WHEN cjk >= 4 THEN CAST(cjk AS DOUBLE) ELSE s END AS score
+FROM pick WHERE rn = 1
+"""
+
+
+def _quality_sql() -> str:
+    from pyppmd_ray.functions.text import _STOPWORDS
+
+    stop_all = _sql_str_list(set().union(*_STOPWORDS.values()))
+    alpha_neg = "[^A-Za-zÀ-ÖØ-öø-ÿ一-鿿]"
+    punct_neg = "[^.,;:!?''\"()\\[\\]{}]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+    regexp_extract_all(trim(text, {_TRIM_SQL}), '{_TOK_RE_SQL}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+       ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+  END AS mean_token_len,
+  CASE WHEN n = 0 THEN 0.0::DOUBLE
+       ELSE CAST(length(regexp_replace(text, '{alpha_neg}', '', 'g')) AS DOUBLE) / n
+  END AS alpha_ratio,
+  CASE WHEN n = 0 THEN 0.0::DOUBLE
+       ELSE CAST(length(regexp_replace(text, '{punct_neg}', '', 'g')) AS DOUBLE) / n
+  END AS punct_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+       ELSE CAST(len(list_filter(toks, w -> list_contains({stop_all}, lower(w)))) AS DOUBLE)
+            / len(toks)
+  END AS stopword_ratio
+FROM base
+"""
+
+
+def _winnow_sql(k: int = 8, window: int = 16) -> str:
+    prime = 0x100000001B3
+    pows = [pow(prime, k - 1 - j, 1 << 64) for j in range(k)]
+    terms = " + ".join(
+        f"('0x' || substr(hx, i*2+{2*j+1}, 2))::UBIGINT::HUGEINT * {pows[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+    CAST(({terms}) % 18446744073709551616::HUGEINT AS UBIGINT) AS g
+  FROM (SELECT doc_id, hx, n, unnest(generate_series(0, n - {k})) AS i
+        FROM docs WHERE n >= {k})
+),
+winfo AS (SELECT doc_id, n, LEAST({window}, n - {k - 1}) AS w FROM docs WHERE n >= {k}),
+mins AS (
+  SELECT g1.doc_id, g1.i, min(g2.g) AS mv
+  FROM grams g1
+  JOIN winfo wi ON wi.doc_id = g1.doc_id
+  JOIN grams g2 ON g2.doc_id = g1.doc_id AND g2.i BETWEEN g1.i AND g1.i + wi.w - 1
+  WHERE g1.i <= wi.n - {k} - wi.w + 1
+  GROUP BY g1.doc_id, g1.i
+),
+agg AS (
+  SELECT doc_id, CAST(count(DISTINCT mv) AS BIGINT) AS n_fp,
+    CAST(bit_xor(DISTINCT mv) & 9223372036854775807::UBIGINT AS BIGINT) AS fp_xor
+  FROM mins GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp, COALESCE(a.fp_xor, 0) AS fp_xor
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _ann_lsh_sql(n_bits: int = 8, k: int = 10, nq: int = 4) -> str:
+    return f"""
+WITH pls AS (SELECT {_sql_planes(n_bits, 64)} AS pl),
+b AS (
+  SELECT vec_id, embedding, {_sql_bucket_expr(n_bits)} AS bucket
+  FROM embeddings CROSS JOIN pls
+),
+q AS (SELECT vec_id AS qi, embedding AS qe, bucket AS qb FROM b ORDER BY vec_id LIMIT {nq}),
+cand AS (
+  SELECT CAST(q.qi AS BIGINT) AS q, e.vec_id,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS c
+  FROM b e CROSS JOIN q
+  WHERE bit_count(xor(e.bucket::BIGINT, q.qb::BIGINT)) <= 1
+),
+r AS (
+  SELECT q, vec_id,
+    CAST(row_number() OVER (PARTITION BY q ORDER BY c DESC, vec_id) - 1 AS BIGINT) AS rank
+  FROM cand
+)
+SELECT q, rank, vec_id FROM r WHERE rank < {k}
+"""
+
+
+def _neardup_lsh_sql(n_bits: int = 6, threshold: float = 0.35) -> str:
+    return f"""
+WITH pls AS (SELECT {_sql_planes(n_bits, 64)} AS pl),
+b AS (
+  SELECT vec_id, embedding, {_sql_bucket_expr(n_bits)} AS bucket
+  FROM embeddings CROSS JOIN pls
+)
+SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > {threshold}
+"""
+
+
+def _multimodal_sql() -> str:
+    from pyppmd_ray.functions.multimodal import PNG_OVERHEAD
+
+    return f"""
+SELECT doc_id,
+  CAST(16 + length(text) % 1024 AS INTEGER) AS width,
+  CAST(16 + (7 * length(text)) % 1024 AS INTEGER) AS height,
+  CAST(8 AS INTEGER) AS bit_depth,
+  CAST(0 AS INTEGER) AS color_type,
+  CAST({PNG_OVERHEAD} + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -374,7 +653,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e1, embeddings e2 WHERE e1.vec_id < e2.vec_id AND "
             "list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) > 0.35"
         ),
-        # rows-only (non-SQL-expressible): dedup_minhash_lsh, simhash_fingerprints,
-        # lang_id, quality_scores, winnow_fingerprints, ann_lsh_topk,
-        # multimodal_meta, compression_by_lang
+        "dedup_minhash_lsh": _minhash_sql(threshold=0.3),
+        "simhash_fingerprints": _simhash_sql(),
+        "lang_id": _lang_id_sql(),
+        "quality_scores": _quality_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_neardup_lsh": _neardup_lsh_sql(),
+        "multimodal_meta": _multimodal_sql(),
+        # rows-only (non-SQL-expressible): compression_by_lang — compressed
+        # sizes come from the engine's own codecs; its row shape is checked
+        # by the driver's weaker rows-only pass and by tests/test_queries.py
     }

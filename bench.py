@@ -138,12 +138,13 @@ def _run_bench() -> dict:
     from pyppmd_ray.functions.dedup import minhash_lsh_pairs
 
     t0 = time.monotonic()
-    minhash_lsh_pairs(
+    n_pairs = minhash_lsh_pairs(
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
         threshold=0.3,
         concurrency=max(1, NUM_CPUS // 2 - 1),
-    )
+    ).count()  # lazy Dataset — count() drives the whole LSH pipeline
     queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
+    extra["minhash_pairs"] = int(n_pairs)
 
     from pyppmd_ray.functions.ann import brute_force_topk
 

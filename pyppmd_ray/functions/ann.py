@@ -119,49 +119,94 @@ class LshBucketer:
         )
 
 
+class LshScorer:
+    """Actor: holds planes + normalized queries + per-query probe-bucket
+    masks (one ray.get in __init__). Each batch computes its rows' buckets
+    locally, scores ONLY rows falling in a query's probe buckets, and
+    emits that batch's top-k candidates per query — the corpus never
+    leaves the workers."""
+
+    def __init__(self, ref, k: int):
+        planes, qnorm, probe_mask = ray.get(ref)
+        self.planes = planes            # (n_bits, dim)
+        self.qnorm = qnorm              # (nq, dim), L2-normalized
+        self.probe_mask = probe_mask    # (nq, 2**n_bits) bool
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bits = (m @ self.planes.T) > 0
+        buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.qnorm.shape[0]):
+            mask = self.probe_mask[qi][buckets]
+            if not mask.any():
+                continue
+            s = mn[mask] @ self.qnorm[qi]
+            cids = ids[mask]
+            top = np.lexsort((cids, -s))[: self.k]
+            out_q.extend([qi] * len(top))
+            out_id.extend(cids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "q": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
 def lsh_topk(
     ds: rd.Dataset, queries: np.ndarray, k: int = 10, n_bits: int = 8,
-    probe_hamming: int = 1, concurrency=None,
+    probe_hamming: int = 1, seed: int = 42, concurrency=None,
 ) -> pa.Table:
-    """LSH-bucketed ANN: bucket the corpus (map_batches), probe only
-    buckets within ``probe_hamming`` of each query's bucket, exact-score
-    inside. Returns (q, rank, vec_id) like brute_force_topk — recall < 1
-    by design; the bucketing keys are the partition keys at scale."""
+    """LSH-bucketed ANN: each worker buckets its own rows, probes only
+    buckets within ``probe_hamming`` of each query's bucket and
+    exact-scores inside — one map_batches pass, query side broadcast once
+    via ray.put, driver merges k×num_blocks candidates (tiny). Returns
+    (q, rank, vec_id) like brute_force_topk; recall < 1 by design (a query
+    with zero in-probe candidates yields < k rows, same as the SQL
+    oracle). Bucket ids are the partition keys at scale."""
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
-    bucketer = LshBucketer(dim, n_bits=n_bits)
-    bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
-    tbl = pa.concat_tables(bucketed.iter_batches(batch_size=None, batch_format="pyarrow"))
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    buckets = np.asarray(tbl["bucket"].to_pylist(), dtype=np.int64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    mn = m / norms[:, None]
+    bucketer = LshBucketer(dim, n_bits=n_bits, seed=seed)
+    qb = bucketer.bucket_of(q)
+    all_buckets = np.arange(1 << n_bits, dtype=np.uint64)
+    # popcount via uint8 bit tricks: hamming(bucket, qb) <= probe_hamming
+    xor = all_buckets[None, :] ^ qb[:, None].astype(np.uint64)
+    ham = np.zeros(xor.shape, dtype=np.int64)
+    x = xor.copy()
+    while x.any():
+        ham += (x & 1).astype(np.int64)
+        x >>= np.uint64(1)
+    probe_mask = ham <= probe_hamming
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
     qnorm = q / qn[:, None]
-    qb = bucketer.bucket_of(q)
+    ref = ray.put((bucketer.planes, qnorm, probe_mask))
+    cand = ds.map_batches(
+        LshScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    )
+    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
-    all_buckets = np.arange(1 << n_bits, dtype=np.int64)
+    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
+    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
     for qi in range(q.shape[0]):
-        ham = np.array([bin(int(b) ^ int(qb[qi])).count("1") for b in all_buckets])
-        probe = set(all_buckets[ham <= probe_hamming].tolist())
-        mask = np.isin(buckets, list(probe))
-        if not mask.any():
-            mask = np.ones_like(mask)
-        s = mn[mask] @ qnorm[qi]
-        cids = ids[mask]
-        order = np.lexsort((cids, -s))[:k]
-        for r, j in enumerate(order):
+        mask = qcol == qi
+        top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
+        for r, vid in enumerate(top_ids):
             out_q.append(qi)
             out_rank.append(r)
-            out_id.append(int(cids[j]))
+            out_id.append(int(vid))
     return pa.table(
         {
             "q": pa.array(out_q, type=pa.int32()),

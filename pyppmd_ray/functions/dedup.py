@@ -2,31 +2,48 @@
 
 Scale shapes (documented per operator):
 - exact: content-hash column added in map_batches (vectorized sha256),
-  then groupby(hash) keeps the min doc_id — the hash column keeps the
-  shuffle narrow (64-hex strings instead of full documents);
+  then ``groupby(hash).map_groups`` keeps the min-id row per group — the
+  whole reduction runs in the cluster, no driver-side keep-set;
 - MinHash+LSH: per-batch shingle→minhash signatures (numpy), explode to
-  (band_id, band_hash, doc_id) rows, groupby the band key → candidate
-  pairs, verify by signature agreement. All-to-all volume is
-  O(docs × bands), never O(docs²);
-- SimHash: 64-bit hyperplane sketch per doc (vectorized), near-dup =
-  hamming distance ≤ t within bucket prefixes;
-- embedding cosine: brute-force per-batch numpy matmul against a
-  broadcast (ray.put) matrix — for the testdata scale; the IVF/LSH
-  bucketed path is in functions/ann.py.
+  (band_id, band_key, doc_id, sig) rows, ``groupby(band key).map_groups``
+  emits *verified* candidate pairs (signatures travel with the band rows,
+  so verification happens inside the bucket group), then a tiny
+  groupby(pair) dedupes across bands. All-to-all volume is
+  O(docs × bands), never O(docs²), and nothing is materialized on the
+  driver;
+- SimHash: 64-bit hyperplane sketch per doc (token-hash cache per actor);
+- embedding cosine: see functions/ann.py for the bucketed scale path;
+  :func:`embedding_neardup_ds` distributes the exact check (broadcast
+  normalized matrix via ray.put, per-batch matmul in workers).
+
+Hash functions are deliberately SQL-reproducible (sha256 prefixes +
+explicit modular arithmetic that never exceeds 2^64), so every operator
+here has a DuckDB oracle in ``__ray_entry__.oracle_sql()``.
 """
 
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
+import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 _M61 = (1 << 61) - 1
+
+# token = maximal run of non-[ \t\n\r] — shared VERBATIM with the SQL oracle
+# (regexp_extract_all(text, '[^ \t\n\r]+')) and with functions/text.py
+TOKEN_RE = re.compile(r"[^ \t\n\r]+")
+
+
+def _sha_prefix_u64(s: str, nbytes: int = 8) -> int:
+    """First ``nbytes`` of sha256(utf8), big-endian — matches the oracle's
+    ('0x' || substr(sha256(s), 1, 2*nbytes))::UBIGINT."""
+    return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:nbytes], "big")
 
 
 def add_text_sha(batch: pa.Table, column: str = "text") -> pa.Table:
@@ -39,53 +56,56 @@ def add_text_sha(batch: pa.Table, column: str = "text") -> pa.Table:
 
 def dedup_exact(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Keep the min-id row per distinct text. Shuffle key = sha256(text)
-    (hash-partitioned groupby; full text never shuffled twice)."""
-    from ray.data.aggregate import Min
-
+    (hash-partitioned groupby; 64-hex strings shuffle, never full docs
+    twice). Entirely in-cluster: groupby(hash).map_groups(min-id row)."""
     hashed = ds.map_batches(add_text_sha, batch_format="pyarrow")
-    keep = hashed.groupby("text_sha").aggregate(Min(id_col, alias_name="keep_id"))
-    keep_ids = {r["keep_id"] for r in keep.take_all()}  # ids only — small
-    ref = ray.put(keep_ids)
 
-    def filt(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        mask = np.array([i in ids for i in batch[id_col].to_pylist()])
-        return batch.filter(pa.array(mask))
+    def keep_min(group: pa.Table) -> pa.Table:
+        i = pc.index(group[id_col], pc.min(group[id_col]))
+        return group.take([i.as_py()]).drop_columns(["text_sha"])
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    return hashed.groupby("text_sha").map_groups(keep_min, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash/LSH
 
+
+def minhash_params(num_hashes: int = 128, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) for the 128 hash functions — a < 2^31 so that
+    a*x + b with x < 2^32 stays below 2^64 (exact in uint64 AND in the SQL
+    oracle's UBIGINT — no wrap on either side)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _M61, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
 class MinHasher:
     """Word-shingle MinHash signatures. Stateful: the (a,b) hash params
-    are built once per actor."""
+    are built once per actor. sig[i] = min over distinct shingles s of
+    (a_i * h32(s) + b_i) mod M61, h32 = first 4 bytes of sha256."""
 
     def __init__(self, num_hashes: int = 128, shingle: int = 3, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M61, size=num_hashes, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, _M61, size=num_hashes, dtype=np.int64).astype(np.uint64)
+        self.a, self.b = minhash_params(num_hashes, seed)
         self.num_hashes = num_hashes
         self.shingle = shingle
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
-        toks = text.split()
+    def _shingles(self, text: str) -> set[str]:
+        toks = TOKEN_RE.findall(text)
         k = self.shingle
         if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-             for s in set(shingles)],
-            dtype=np.uint64,
-        )
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
-    def signature(self, text: str) -> np.ndarray:
-        h = self._shingle_hashes(text)
-        if h.size == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
-        # (a*x + b) mod M61, vectorized over shingles × hashes
+    def signature(self, text: str) -> np.ndarray | None:
+        """None when the doc has no shingles (empty/whitespace-only) — such
+        docs take part in no buckets (mirrors the SQL oracle, where they
+        produce zero shingle rows)."""
+        sh = self._shingles(text)
+        if not sh:
+            return None
+        h = np.array([_sha_prefix_u64(s, 4) for s in sh], dtype=np.uint64)
+        # a*x + b < 2^63 + 2^61 — exact, then mod M61
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_M61)
         return vals.min(axis=1)
 
@@ -94,78 +114,69 @@ class MinHasher:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array([s.astype(np.int64).tolist() for s in sigs],
-                                type=pa.list_(pa.int64())),
+                "sig": pa.array(
+                    [None if s is None else s.astype(np.int64).tolist() for s in sigs],
+                    type=pa.list_(pa.int64()),
+                ),
             }
         )
 
 
 def minhash_bands(batch: pa.Table, bands: int = 16, rows: int = 8) -> pa.Table:
-    """Explode signatures → (band_id, band_hash, doc_id) rows (the LSH
-    shuffle key)."""
-    out_band, out_hash, out_id = [], [], []
+    """Explode signatures → (band_id, band_key, doc_id, sig) rows.
+
+    band_key is the comma-joined slice itself (SQL-reproducible:
+    array_to_string(sig[b*rows+1 : (b+1)*rows], ',')) — no extra hash
+    layer; the groupby key is a short string either way. Signatures ride
+    along so bucket groups can verify pairs without a second join."""
+    out_band, out_key, out_id, out_sig = [], [], [], []
     for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        s = np.asarray(sig, dtype=np.uint64)
+        if sig is None:
+            continue
         for b in range(bands):
-            chunk = s[b * rows : (b + 1) * rows]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            chunk = sig[b * rows : (b + 1) * rows]
             out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)
+            out_key.append(",".join(str(v) for v in chunk))
             out_id.append(doc_id)
+            out_sig.append(sig)
     return pa.table(
         {
             "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "band_key": pa.array(out_key, type=pa.string()),
             "doc_id": pa.array(out_id, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
         }
     )
 
 
-def candidate_pairs_from_bands(bands_tbl: pa.Table) -> set[tuple[int, int]]:
-    """Groupby (band_id, band_hash) → all intra-bucket pairs."""
-    import pandas as pd
-
-    df = bands_tbl.to_pandas()
-    pairs: set[tuple[int, int]] = set()
-    for _, g in df.groupby(["band_id", "band_hash"]):
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) > 1:
-            pairs.update(combinations(ids, 2))
-    return pairs
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc_id_a", pa.int64()),
+        ("doc_id_b", pa.int64()),
+        ("jaccard_est", pa.float64()),
+    ]
+)
 
 
-def minhash_lsh_pairs(
-    ds: rd.Dataset, *, num_hashes: int = 128, bands: int = 16, rows: int = 8,
-    shingle: int = 3, threshold: float = 0.5, concurrency=None,
-) -> pa.Table:
-    """Full MinHash-LSH near-dup pipeline → (doc_id_a, doc_id_b, jaccard_est).
-
-    Dataflow: map_batches(MinHasher actor pool) → band explode →
-    groupby(band key) buckets → candidate pairs → verify by signature
-    agreement ≥ threshold. At scale the candidate-pair verify joins
-    signatures by doc_id partition; here signatures are broadcast
-    (testdata ≤ 10^4 docs)."""
-    conc = concurrency or 2
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle": shingle},
-        batch_format="pyarrow",
-        concurrency=conc,
-    )
-    sig_tbl = pa.concat_tables(sigs.iter_batches(batch_size=None, batch_format="pyarrow"))
-    bands_tbl = minhash_bands(sig_tbl, bands=bands, rows=rows)
-    pairs = candidate_pairs_from_bands(bands_tbl)
-    sig_map = {
-        d: np.asarray(s, dtype=np.int64)
-        for d, s in zip(sig_tbl["doc_id"].to_pylist(), sig_tbl["sig"].to_pylist())
-    }
+def band_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """One (band_id, band_key) bucket → verified pairs. jaccard_est =
+    fraction of agreeing signature positions (exact k/num_hashes — no
+    rounding, so the SQL oracle reproduces it bit-for-bit)."""
+    n = group.num_rows
+    if n < 2:
+        return _PAIR_SCHEMA.empty_table()
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
     out_a, out_b, out_j = [], [], []
-    for a, b in sorted(pairs):
-        est = float(np.mean(sig_map[a] == sig_map[b]))
-        if est >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(est, 4))
+    for i in range(n - 1):
+        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        keep = np.flatnonzero(est >= threshold)
+        for j in keep:
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[i + 1 + j]))
+            out_j.append(float(est[j]))
     return pa.table(
         {
             "doc_id_a": pa.array(out_a, type=pa.int64()),
@@ -175,25 +186,76 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    ds: rd.Dataset, *, num_hashes: int = 128, bands: int = 16, rows: int = 8,
+    shingle: int = 3, threshold: float = 0.5, concurrency=None,
+) -> rd.Dataset:
+    """Full MinHash-LSH near-dup pipeline → Dataset(doc_id_a, doc_id_b,
+    jaccard_est), entirely in-cluster.
+
+    Dataflow: map_batches(MinHasher actor pool) → band explode (sig rides
+    along) → groupby(band_id, band_key).map_groups(verify pairs) →
+    groupby(pair).max dedupe across bands. All-to-all volume is
+    O(docs × bands); the driver only sees the final (tiny) pair set."""
+    from ray.data.aggregate import Max
+
+    conc = concurrency or 2
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle": shingle},
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+    band_rows = sigs.map_batches(
+        lambda b: minhash_bands(b, bands=bands, rows=rows), batch_format="pyarrow"
+    )
+    pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: band_bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    # the same pair found in several bands carries the same jaccard_est;
+    # Max is just "pick the one value"
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est")
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
+
 class SimHasher:
-    """64-bit SimHash over word features (Charikar 2002)."""
+    """63-bit SimHash over distinct word features (Charikar 2002).
+    Word hash = first 8 bytes of sha256 (big-endian); bit j of the sketch
+    is sign(sum over words of ±1 by bit j of the word hash), j in 0..62.
+    Per-actor token→±1-vector cache (hot words hash once per worker)."""
+
+    _MAX_CACHE = 1 << 20
+
+    def __init__(self):
+        self._cache: dict[str, np.ndarray] = {}
+        self._shifts = np.arange(63, dtype=np.uint64)
+
+    def _tokvec(self, w: str) -> np.ndarray:
+        v = self._cache.get(w)
+        if v is None:
+            h = np.uint64(_sha_prefix_u64(w, 8))
+            bits = (h >> self._shifts) & np.uint64(1)
+            v = np.where(bits.astype(bool), np.int32(1), np.int32(-1))
+            if len(self._cache) < self._MAX_CACHE:
+                self._cache[w] = v
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
+        weights = (np.uint64(1) << self._shifts).astype(np.uint64)
         for t in batch["text"].to_pylist():
-            toks = (t or "").split()
+            toks = set(TOKEN_RE.findall(t or ""))
             if not toks:
                 out.append(0)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for w in set(toks):
-                h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sh & 0x7FFFFFFFFFFFFFFF)
+            acc = np.zeros(63, dtype=np.int64)
+            for w in toks:
+                acc += self._tokvec(w)
+            out.append(int(((acc > 0).astype(np.uint64) * weights).sum()))
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.int64())}
         )
@@ -202,7 +264,7 @@ class SimHasher:
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard (the verify step after LSH candidates)."""
     def grams(t: str) -> set[str]:
-        toks = t.split()
+        toks = TOKEN_RE.findall(t)
         if len(toks) < n:
             return {" ".join(toks)} if toks else set()
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -214,9 +276,14 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(ga) + len(gb) - inter)
 
 
+# ------------------------------------------------------ embedding near-dup
+
+
 def embedding_neardup_pairs(tbl: pa.Table, threshold: float = 0.9) -> pa.Table:
-    """(vec_id_a, vec_id_b) with cosine > threshold, a < b — brute-force
-    float64 numpy matmul (matches DuckDB list_cosine_similarity doubles)."""
+    """(vec_id_a, vec_id_b) with cosine > threshold, a < b — single-process
+    brute-force float64 matmul. Small-scale oracle cross-check; the
+    distributed paths are :func:`embedding_neardup_ds` (exact) and
+    :func:`embedding_neardup_lsh` (bucketed, the 100 TB shape)."""
     ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
     m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1)
@@ -231,3 +298,78 @@ def embedding_neardup_pairs(tbl: pa.Table, threshold: float = 0.9) -> pa.Table:
             "vec_id_b": pa.array(ids[ib][order], type=pa.int64()),
         }
     )
+
+
+class _NeardupScorer:
+    """Actor: holds the broadcast normalized corpus matrix; each batch
+    scores its rows against the full matrix and emits (a < b) pairs."""
+
+    def __init__(self, ref, threshold: float):
+        ids, mn = ray.get(ref)
+        self.ids = ids
+        self.mn = mn
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m / norms[:, None]) @ self.mn.T  # (batch, corpus)
+        ia, ib = np.where(cos > self.threshold)
+        a_ids, b_ids = bids[ia], self.ids[ib]
+        keep = a_ids < b_ids  # each unordered pair emitted exactly once
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a_ids[keep], type=pa.int64()),
+                "vec_id_b": pa.array(b_ids[keep], type=pa.int64()),
+            }
+        )
+
+
+def embedding_neardup_ds(
+    ds: rd.Dataset, threshold: float = 0.9, concurrency=None
+) -> rd.Dataset:
+    """Distributed exact near-dup: the normalized corpus is broadcast ONCE
+    (ray.put, fetched per actor in __init__), each batch does one matmul
+    against it in a worker. O(n²) compute spread over the pool, O(n·d)
+    broadcast memory per node — exact up to ~10^6 vectors; beyond that use
+    :func:`embedding_neardup_lsh`."""
+    tbl = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, m / norms[:, None]))
+    return ds.map_batches(
+        _NeardupScorer,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    )
+
+
+def embedding_neardup_lsh(
+    ds: rd.Dataset, threshold: float = 0.9, n_bits: int = 6, seed: int = 42,
+    concurrency=None,
+) -> rd.Dataset:
+    """Bucketed near-dup — the 100 TB shape: random-hyperplane LSH bucket
+    per vector (map_batches), then intra-bucket exact cosine pairs via
+    groupby(bucket).map_groups. Recall < 1 by design (pairs split across
+    buckets are missed); bucket id is the partition key at scale."""
+    from .ann import LshBucketer
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0])
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        pairs = embedding_neardup_pairs(group, threshold=threshold)
+        return pairs
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

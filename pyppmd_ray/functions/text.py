@@ -51,27 +51,39 @@ class TokenCounter:
         return pa.table({"doc_id": batch["doc_id"], "n_tokens": counts})
 
 
+# word char class for lang-id stopword matching — shared VERBATIM with the
+# SQL oracle (regexp_extract_all(lower(...), LANG_WORD_RE)): ASCII letters
+# plus the Latin-1/Latin-Extended lowercase block
+LANG_WORD_RE = "[a-zà-öø-ÿ]+"
+CJK_RANGE = ("一", "鿿")
+
+
 class LangId:
     """n-gram/stopword heuristic language id → (doc_id, pred_lang, score).
 
-    Deterministic: scores each language by stopword hits (CJK detection by
-    unicode range for zh); ties break lexicographically."""
+    Deterministic and SQL-reproducible: CJK chars counted in the first 400
+    codepoints (≥4 → zh); otherwise each language scores stopword hits over
+    words of the first 2000 codepoints, argmax with ties broken by the
+    fixed order de < en < es < fr."""
+
+    LANG_ORDER = ("de", "en", "es", "fr")
 
     def __init__(self):
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.word = re.compile(LANG_WORD_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, scores = [], []
+        lo, hi = CJK_RANGE
         for t in batch["text"].to_pylist():
             t = t or ""
-            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            cjk = sum(1 for ch in t[:400] if lo <= ch <= hi)
             if cjk >= 4:
                 preds.append("zh")
                 scores.append(float(cjk))
                 continue
-            toks = [w.lower() for w in self.word.findall(t[:2000])]
-            best_lang, best = "en", -1.0
-            for lang in ("de", "en", "es", "fr"):  # fixed order for tie-break
+            toks = self.word.findall(t[:2000].lower())
+            best_lang, best = "", -1.0
+            for lang in self.LANG_ORDER:
                 sw = _STOPWORDS[lang]
                 s = sum(1 for w in toks if w in sw)
                 if s > best:
@@ -87,15 +99,23 @@ class LangId:
         )
 
 
+# letter class for alpha_ratio — shared VERBATIM with the SQL oracle
+# (Latin letters incl. accents + CJK; concrete so RE2 and Python agree)
+ALPHA_RE = "[A-Za-zÀ-ÖØ-öø-ÿ一-鿿]"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
+
+
 class QualityScorer:
-    """Heuristic quality metrics per document (all deterministic ints /
-    rounded floats): length, token count, mean token length, alpha ratio,
-    punctuation ratio, stopword ratio."""
+    """Heuristic quality metrics per document: length, token count, mean
+    token length, alpha ratio, punctuation ratio, stopword ratio. All
+    ratios are raw IEEE doubles (no rounding — Python banker's rounding
+    diverges from SQL round() at exact .5 ties) so the DuckDB oracle
+    reproduces them bit-for-bit."""
 
     def __init__(self):
         self.splitter = re.compile(TOKEN_SPLIT_RE)
-        self.alpha = re.compile(r"[^\W\d_]", re.UNICODE)
-        self.punct = re.compile(r"[.,;:!?'\"()\[\]{}]")
+        self.alpha = re.compile(ALPHA_RE)
+        self.punct = re.compile(PUNCT_RE)
         self.stop_all = set().union(*_STOPWORDS.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -116,13 +136,13 @@ class QualityScorer:
             out["n_chars"].append(n)
             out["n_tokens"].append(len(toks))
             out["mean_token_len"].append(
-                round(sum(len(w) for w in toks) / len(toks), 4) if toks else 0.0
+                sum(len(w) for w in toks) / len(toks) if toks else 0.0
             )
-            out["alpha_ratio"].append(round(len(self.alpha.findall(t)) / n, 4) if n else 0.0)
-            out["punct_ratio"].append(round(len(self.punct.findall(t)) / n, 4) if n else 0.0)
+            out["alpha_ratio"].append(len(self.alpha.findall(t)) / n if n else 0.0)
+            out["punct_ratio"].append(len(self.punct.findall(t)) / n if n else 0.0)
             low = [w.lower() for w in toks]
             out["stopword_ratio"].append(
-                round(sum(1 for w in low if w in self.stop_all) / len(low), 4) if low else 0.0
+                sum(1 for w in low if w in self.stop_all) / len(low) if low else 0.0
             )
         return pa.table(
             {

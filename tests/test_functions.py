@@ -9,9 +9,9 @@ import pytest
 from pyppmd_ray.functions.dedup import (
     MinHasher,
     SimHasher,
+    band_bucket_pairs,
     embedding_neardup_pairs,
     minhash_bands,
-    candidate_pairs_from_bands,
     ngram_jaccard,
 )
 from pyppmd_ray.functions.multimodal import MediaDecoder, frame_sample_plan, to_payload_table
@@ -78,8 +78,19 @@ class TestDedup:
         mh = MinHasher(num_hashes=64)
         sigs = mh(docs_table())
         bands = minhash_bands(sigs, bands=16, rows=4)
-        pairs = candidate_pairs_from_bands(bands)
-        assert (0, 1) in pairs  # docs 0/1 differ by one word
+        # docs 0/1 differ by one word → they must share at least one band key
+        df = bands.to_pandas()
+        shared = df.groupby(["band_id", "band_key"])["doc_id"].apply(set)
+        assert any({0, 1} <= s for s in shared)
+        # the in-bucket verify emits the pair with high signature agreement
+        pairs = pa.concat_tables(
+            band_bucket_pairs(g_tbl, threshold=0.4)
+            for _, g in df.groupby(["band_id", "band_key"])
+            if len(g) > 1
+            for g_tbl in [pa.Table.from_pandas(g, preserve_index=False)]
+        )
+        got = set(zip(pairs["doc_id_a"].to_pylist(), pairs["doc_id_b"].to_pylist()))
+        assert (0, 1) in got
         s0 = np.asarray(sigs["sig"][0].as_py())
         s1 = np.asarray(sigs["sig"][1].as_py())
         est = float(np.mean(s0 == s1))
@@ -87,6 +98,13 @@ class TestDedup:
             docs_table()["text"][0].as_py(), docs_table()["text"][1].as_py(), n=3
         )
         assert est > 0.4 and true_j > 0.5
+
+    def test_minhash_empty_doc_emits_no_bands(self):
+        mh = MinHasher(num_hashes=16)
+        sigs = mh(docs_table())
+        assert sigs["sig"][6].as_py() is None  # doc 6 is empty
+        bands = minhash_bands(sigs, bands=4, rows=4)
+        assert 6 not in set(bands["doc_id"].to_pylist())
 
     def test_simhash_similar_docs_close(self):
         out = SimHasher()(docs_table())
@@ -118,20 +136,30 @@ class TestDedup:
 
 
 class TestMultimodal:
-    def test_payload_and_decode_stub(self):
-        p = to_payload_table(docs_table())
-        assert p["n_bytes"].to_pylist()[6] == 0
-        out = MediaDecoder(decode_stub=True)(p)
-        assert out.num_rows == 8
-        assert len(out["feature"][0].as_py()) == 8
-        # deterministic fake features
-        out2 = MediaDecoder(decode_stub=True)(p)
-        assert out.equals(out2)
+    def test_payload_is_real_png_and_parser_reads_it(self):
+        from pyppmd_ray.functions.multimodal import PNG_OVERHEAD, PNG_SIG, parse_png_header
 
-    def test_decode_without_stub_raises(self):
+        p = to_payload_table(docs_table())
+        texts = docs_table()["text"].to_pylist()
+        for i, payload in enumerate(p["payload"].to_pylist()):
+            assert payload.startswith(PNG_SIG)
+            assert len(payload) == PNG_OVERHEAD + len(texts[i].encode("utf-8"))
+        out = MediaDecoder()(p)
+        assert out.num_rows == 8
+        n0 = len(texts[0])
+        assert out["width"][0].as_py() == 16 + n0 % 1024
+        assert out["height"][0].as_py() == 16 + (7 * n0) % 1024
+        assert out["bit_depth"][0].as_py() == 8 and out["color_type"][0].as_py() == 0
+        # parser is a real validator: corrupting the IHDR CRC must raise
+        bad = bytearray(p["payload"][0].as_py())
+        bad[30] ^= 0xFF
+        with pytest.raises(ValueError):
+            parse_png_header(bytes(bad))
+
+    def test_pixel_decode_is_marked_stub(self):
         p = to_payload_table(docs_table())
         with pytest.raises(NotImplementedError):
-            MediaDecoder(decode_stub=False)(p)
+            MediaDecoder(decode_pixels=True)(p)
 
     def test_frame_sample_plan(self):
         p = to_payload_table(docs_table())
