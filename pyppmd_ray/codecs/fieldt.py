@@ -66,35 +66,67 @@ def _detect(segs: list[bytes]) -> tuple[bytes | None, int]:
     return None, 0
 
 
-def _encode_field(vals: list[bytes], depth: int) -> bytes:
-    """One field stream → varint(mode) + blob, smallest exact encoding.
+# a typed path may carry up to 1% odd values (e.g. the CSV header row,
+# which has the regular delimiter count and lands in every field stream)
+# as verbatim exceptions; without this, one header string knocks a whole
+# numeric column off the typed path
+_MAX_EXC_FRAC = 0.01
 
-    Typed paths short-circuit (they dominate when they apply); recursive
-    sub-fields and small streams use entropy-only coding so the trial tree
-    stays linear in the data size."""
+
+def _typed_blob(vals: list[bytes], mode: int, to_int, matches) -> bytes | None:
+    """varint-framed typed field: mode + n_exc + [exc_idx + exc_bytes] +
+    int stream (exception slots carry 0)."""
     from .numeric import encode_int_auto
     from .rans import best_entropy_blob
 
+    exc_idx = [i for i, m in enumerate(matches) if m is None]
+    ints = np.zeros(len(vals), dtype=np.int64)
+    for i, m in enumerate(matches):
+        if m is not None:
+            ints[i] = to_int(m)
+    out = bytearray([mode])
+    out += write_uvarint(len(exc_idx))
+    if exc_idx:
+        ib = encode_int_auto(np.array(exc_idx, dtype=np.int64))
+        vb = best_entropy_blob(b"\n".join(vals[i] for i in exc_idx))
+        out += write_uvarint(len(ib)) + ib + write_uvarint(len(vb)) + vb
+    out += encode_int_auto(ints)
+    return bytes(out)
+
+
+def _encode_field(vals: list[bytes], depth: int) -> bytes:
+    """One field stream → mode byte + blob, smallest exact encoding.
+
+    Typed paths short-circuit (they dominate when they apply) and allow a
+    small fraction of non-conforming values as verbatim exceptions;
+    recursive sub-fields and small streams use entropy-only coding so the
+    trial tree stays linear in the data size."""
+    from .rans import best_entropy_blob
+
     joined = b"\n".join(vals)
-    if vals and all(_INT_RE.match(v) for v in vals):
-        ints = np.array([int(v) for v in vals], dtype=np.int64)
-        blob = bytes([MODE_INT]) + encode_int_auto(ints)
-        # exactness check: re-formatting must reproduce every value
-        # byte-for-byte (the regex pre-filters, this is the guarantee)
-        if len(blob) < len(joined) and _decode_field(memoryview(blob), len(vals)) == vals:
-            return blob
-    elif vals and all(_DEC_RE.match(v) for v in vals):
-        cents = np.array(
-            [
-                (-1 if m.group(1) else 1) * (int(m.group(2)) * 100 + int(m.group(3)))
-                for m in (_DEC_RE.match(v) for v in vals)
-            ],
-            dtype=np.int64,
-        )
-        blob = bytes([MODE_DEC2]) + encode_int_auto(cents)
-        # catches e.g. b"-0.00" (sign lost through cents == 0)
-        if len(blob) < len(joined) and _decode_field(memoryview(blob), len(vals)) == vals:
-            return blob
+    n = len(vals)
+    max_exc = max(1, int(n * _MAX_EXC_FRAC))
+    if n >= 8:
+        im = [_INT_RE.match(v) for v in vals]
+        n_bad = sum(1 for m in im if m is None)
+        if n_bad <= max_exc:
+            blob = _typed_blob(vals, MODE_INT, lambda m: int(m.group(0)), im)
+            # exactness check: re-formatting must reproduce every value
+            # byte-for-byte (the regex pre-filters, this is the guarantee)
+            if blob and len(blob) < len(joined) and _decode_field(memoryview(blob), n) == vals:
+                return blob
+        dm = [_DEC_RE.match(v) for v in vals]
+        n_bad = sum(1 for m in dm if m is None)
+        if n_bad <= max_exc:
+            blob = _typed_blob(
+                vals,
+                MODE_DEC2,
+                lambda m: (-1 if m.group(1) else 1) * (int(m.group(2)) * 100 + int(m.group(3))),
+                dm,
+            )
+            # decode check catches e.g. b"-0.00" (sign lost through cents == 0)
+            if blob and len(blob) < len(joined) and _decode_field(memoryview(blob), n) == vals:
+                return blob
     if depth >= MAX_DEPTH or len(joined) < 8192:
         return bytes([MODE_BYTES]) + best_entropy_blob(joined)
     inner = _best_inner(joined)
@@ -113,12 +145,29 @@ def _decode_field(blob: memoryview, n_vals: int) -> list[bytes]:
     if mode == MODE_BYTES:
         data = decode_blob(body)
         return data.split(b"\n") if n_vals else []
-    vals = np.asarray(decode_blob(body), dtype=np.int64)
+    n_exc, pos = read_uvarint(body, 0)
+    exc: dict[int, bytes] = {}
+    if n_exc:
+        ilen, pos = read_uvarint(body, pos)
+        idx = np.asarray(decode_blob(body[pos : pos + ilen]), dtype=np.int64)
+        pos += ilen
+        vlen, pos = read_uvarint(body, pos)
+        ev = decode_blob(body[pos : pos + vlen]).split(b"\n")
+        pos += vlen
+        if len(ev) != n_exc:
+            raise CodecError("fieldt exception count mismatch")
+        exc = dict(zip(idx.tolist(), ev))
+    vals = np.asarray(decode_blob(body[pos:]), dtype=np.int64)
     if mode == MODE_INT:
-        return [b"%d" % int(v) for v in vals]
+        return [
+            exc[i] if i in exc else b"%d" % int(v) for i, v in enumerate(vals.tolist())
+        ]
     if mode == MODE_DEC2:
         out = []
-        for v in vals.tolist():
+        for i, v in enumerate(vals.tolist()):
+            if i in exc:
+                out.append(exc[i])
+                continue
             sign = b"-" if v < 0 else b""
             a = abs(v)
             out.append(b"%s%d.%02d" % (sign, a // 100, a % 100))

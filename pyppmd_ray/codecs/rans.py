@@ -26,7 +26,12 @@ from .base import CodecError, pack_blob, register
 
 PROB_BITS = 12
 M = 1 << PROB_BITS          # total of the quantized frequency table
-RANS_L = 1 << 23            # lower bound of the state interval [L, 256*L)
+# u32 state, 16-bit renormalization: state in [L, 2^16*L); at most ONE
+# u16 word emitted/consumed per symbol (vs up to two bytes in the classic
+# byte-wise scheme) — halves the vector-op count per step. Requires every
+# freq < M so that f << 20 fits in u32 (see cap_full_freq).
+RANS_L = 1 << 16
+_RENORM = 16
 _U32 = np.uint32
 _U64 = np.uint64
 
@@ -55,18 +60,34 @@ def normalize_freqs(counts: np.ndarray) -> np.ndarray:
     return f.astype(_U32)
 
 
+def cap_full_freq(f: np.ndarray) -> np.ndarray:
+    """Ensure max freq <= M-1 (a single-symbol table would make f << 20
+    overflow u32). Moves one count to a deterministic dummy slot — the
+    decoder never sees its slots because the encoder never produces them."""
+    j = int(np.argmax(f))
+    if int(f[j]) == M:
+        f = f.copy()
+        f[j] = M - 1
+        f[0 if j != 0 else 1] += 1
+    return f
+
+
 def _lane_count(n: int) -> int:
-    # states cost 4 bytes/lane; cap the header overhead at ~0.5%
-    return max(1, min(2048, n // 800)) if n else 1
+    # states cost 4 bytes/lane; bigger lanes = bigger numpy steps (the
+    # per-step kernel overhead dominates below ~4k elements) at ~0.6%
+    # header cost on large blocks
+    return max(1, min(8192, n // 700)) if n else 1
 
 
 def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, int]:
-    """Encode uint8/uint16 symbols with quantized ``freqs`` (sum == M).
+    """Encode uint8/uint16 symbols with quantized ``freqs`` (sum == M,
+    every freq <= M-1 — see :func:`cap_full_freq`).
 
     Round-robin lane layout (symbol i → lane i%N, step i//N) means only
     the FINAL decode step (= first encode step here) is partially active;
     every other step runs mask-free. Per-symbol (freq, start) arrays are
-    gathered once up front.
+    gathered once up front. u32 states with 16-bit renorm: at most one
+    u16 word per symbol, one compare per step.
 
     Returns (stream_bytes, final_states_u32, n_lanes).
     """
@@ -75,16 +96,16 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
     N = _lane_count(n)
     f_tab = freqs.astype(_U32)
     start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(_U32)
-    fa = f_tab[sym].astype(_U64)
-    sa = start_tab[sym].astype(_U64)
+    fa = f_tab[sym]
+    sa = start_tab[sym]
 
-    states = np.full(N, RANS_L, dtype=_U64)
+    states = np.full(N, RANS_L, dtype=_U32)
     T = -(-n // N) if n else 0
     chunks: list[np.ndarray] = []
-    x_max_base = _U64((RANS_L >> PROB_BITS) << 8)
-    eight = _U64(8)
-    pbits = _U64(PROB_BITS)
-    ff = _U64(0xFF)
+    shift = _U32(_RENORM)
+    pbits = _U32(PROB_BITS)
+    xmax_shift = _U32(_RENORM + 4)  # f << 20 == f * ((L >> PROB_BITS) << 16)
+    w_mask = _U32(0xFFFF)
 
     for t in range(T - 1, -1, -1):
         lo = t * N
@@ -92,23 +113,14 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
         st = sa[lo : lo + N]
         x = states
         if f.size < N:  # only possible at t == T-1 (partial last step)
-            act = f.size
-            x = states[:act]
-        x_max = x_max_base * f
-        need1 = x >= x_max
-        need2 = (x >> eight) >= x_max
-        c = need1.view(np.int8).astype(np.int64)
-        c += need2.view(np.int8)
-        total = int(c.sum())
-        if total:
-            ofs = np.cumsum(c)
-            chunk = np.empty(total, dtype=np.uint8)
-            # decode reads the last-emitted byte first → byte2 precedes byte1
-            chunk[ofs[need2] - 1] = (x[need2] & ff).astype(np.uint8)
-            chunk[ofs[need1] - c[need1]] = ((x[need1] >> (eight * need2[need1])) & ff).astype(np.uint8)
-            x = x >> (eight * c.astype(_U64))
-            chunks.append(chunk)
-        nx = ((x // f) << pbits) + (x % f) + st
+            x = states[: f.size]
+        need = x >= (f << xmax_shift)
+        if need.any():
+            # decoder refills lanes in ascending order within the step
+            chunks.append((x[need] & w_mask).astype(np.uint16))
+            x = np.where(need, x >> shift, x)
+        q = x // f
+        nx = (q << pbits) + (x - q * f) + st
         if nx.size < N:
             states = states.copy()
             states[: nx.size] = nx
@@ -116,7 +128,7 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
             states = nx
 
     chunks.reverse()
-    stream = np.concatenate(chunks).tobytes() if chunks else b""
+    stream = np.concatenate(chunks).astype("<u2").tobytes() if chunks else b""
     return stream, states.astype(_U32), N
 
 
@@ -133,16 +145,15 @@ def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
     )
     if slot2sym.size != M:
         raise CodecError("corrupt frequency table")
-    buf = np.frombuffer(stream, dtype=np.uint8)
+    buf = np.frombuffer(stream, dtype="<u2")
     out = np.empty(n, dtype=np.uint16)
-    x = states.astype(_U64)
+    x = states.astype(_U32).copy()
     ptr = 0
     T = -(-n // N) if n else 0
-    mask = _U64(M - 1)
-    eight = _U64(8)
-    pbits = _U64(PROB_BITS)
-    L = _U64(RANS_L)
-    L8 = _U64(RANS_L >> 8)
+    mask = _U32(M - 1)
+    shift = _U32(_RENORM)
+    pbits = _U32(PROB_BITS)
+    L = _U32(RANS_L)
 
     for t in range(T):
         lo = t * N
@@ -151,21 +162,15 @@ def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
         slot = (x & mask).astype(np.int64)
         s = slot2sym[slot]
         out[lo : lo + s.size] = s
-        f = f_tab[s].astype(_U64)
-        st = start_tab[s].astype(_U64)
+        f = f_tab[s].astype(_U32)
+        st = start_tab[s].astype(_U32)
         x = f * (x >> pbits) + (x & mask) - st
 
-        need1 = x < L
-        need2 = x < L8
-        c = need1.view(np.int8).astype(np.int64)
-        c += need2.view(np.int8)
-        total = int(c.sum())
+        need = x < L
+        total = int(need.sum())
         if total:
-            ofs = ptr + np.cumsum(c)
-            b1 = buf[ofs[need1] - c[need1]].astype(_U64)
-            x[need1] = (x[need1] << eight) | b1
-            b2 = buf[ofs[need2] - 1].astype(_U64)
-            x[need2] = (x[need2] << eight) | b2
+            w = buf[ptr : ptr + total].astype(_U32)
+            x[need] = (x[need] << shift) | w
             ptr += total
     return out
 
@@ -227,9 +232,10 @@ def encode_rans0(data: bytes | memoryview | np.ndarray) -> bytes:
     n = int(arr.size)
     if n == 0:
         return pack_blob("rans0", {"n": 0, "N": 1, "A": 0})
-    counts = np.bincount(arr, minlength=1)
+    # minlength 2: single-symbol inputs need a dummy slot for cap_full_freq
+    counts = np.bincount(arr, minlength=2)
     A = int(counts.size)
-    freqs = normalize_freqs(counts)
+    freqs = cap_full_freq(normalize_freqs(counts))
     stream, states, N = rans_encode(arr, freqs)
     from .numeric import pack_uints
 

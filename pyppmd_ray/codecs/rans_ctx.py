@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import CodecError, pack_blob, register
-from .rans import M, PROB_BITS, RANS_L, normalize_freqs
+from .rans import M, PROB_BITS, RANS_L, cap_full_freq, normalize_freqs
 
 _U32 = np.uint32
 _U64 = np.uint64
@@ -43,7 +43,8 @@ def build_classes(data: np.ndarray) -> np.ndarray:
 
 
 def _lane_count(n: int) -> int:
-    return max(1, min(2048, n // 800)) if n else 1
+    # match rans.py: big lanes amortize per-step numpy overhead
+    return max(1, min(8192, n // 700)) if n else 1
 
 
 def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
@@ -57,7 +58,7 @@ def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
         return pack_blob("rans1", {"n": n, "m": 0}, inner)
 
     cls = build_classes(arr)
-    A = int(arr.max()) + 1
+    A = max(int(arr.max()) + 1, 2)  # >= 2 so cap_full_freq has a dummy slot
     # context class per position (class 0 at lane starts, set below)
     ctx = np.zeros(n, dtype=np.uint8)
     ctx[1:] = cls[arr[:-1]]
@@ -72,45 +73,39 @@ def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
     cnt = np.bincount(flat, minlength=N_CLASSES * A).reshape(N_CLASSES, A)
     for c in range(N_CLASSES):
         if cnt[c].sum() > 0:
-            F[c] = normalize_freqs(cnt[c])
+            F[c] = cap_full_freq(normalize_freqs(cnt[c]))
     S = np.zeros((N_CLASSES, A + 1), dtype=_U32)
     S[:, 1:] = np.cumsum(F, axis=1)
 
-    fa = F[ctx, arr].astype(_U64)
-    sa = S[ctx, arr].astype(_U64)
+    fa = F[ctx, arr]
+    sa = S[ctx, arr]
 
     states = np.full(N, RANS_L, dtype=_U32)
     chunks: list[np.ndarray] = []
-    x_max_base = _U64((RANS_L >> PROB_BITS) << 8)
     lanes = np.arange(N)
+    shift = _U32(16)
+    pbits = _U32(PROB_BITS)
+    xmax_shift = _U32(20)  # f << 20 == f * ((L >> PROB_BITS) << 16)
+    w_mask = _U32(0xFFFF)
     for t in range(T - 1, -1, -1):
         idx = lanes * T + t
         active = idx < n
         safe = np.minimum(idx, n - 1)
         f = fa[safe]
         st = sa[safe]
-        x = states.astype(_U64)
-        x_max = x_max_base * f
-        c = np.zeros(N, dtype=np.int64)
-        c[active & (x >= x_max)] = 1
-        c[active & ((x >> _U64(8)) >= x_max)] = 2
-        total = int(c.sum())
-        if total:
-            ofs = np.concatenate(([0], np.cumsum(c)))[:-1]
-            chunk = np.empty(total, dtype=np.uint8)
-            m1 = c >= 1
-            m2 = c == 2
-            chunk[ofs[m2]] = ((x[m2] >> _U64(8)) & _U64(0xFF)).astype(np.uint8)
-            chunk[ofs[m1] + (c[m1] - 1)] = (x[m1] & _U64(0xFF)).astype(np.uint8)
-            x = x >> (_U64(8) * c.astype(_U64))
-        chunks.append(
-            np.empty(0, dtype=np.uint8) if not total else chunk
-        )
-        nx = ((x // f) << _U64(PROB_BITS)) + (x % f) + st
-        states = np.where(active, nx, states.astype(_U64)).astype(_U32)
+        x = states
+        need = active & (x >= (f << xmax_shift))
+        if need.any():
+            chunks.append((x[need] & w_mask).astype(np.uint16))
+            x = np.where(need, x >> shift, x)
+        q = x // f
+        nx = (q << pbits) + (x - q * f) + st
+        states = np.where(active, nx, x)
 
     chunks.reverse()
-    stream = np.concatenate(chunks).tobytes() if chunks else b""
+    stream = (
+        np.concatenate(chunks).astype("<u2").tobytes() if chunks else b""
+    )
 
     from .numeric import pack_uints
 
@@ -152,12 +147,15 @@ def _decode_rans1(meta: dict, payload: memoryview) -> bytes:
             slot2sym[c] = np.repeat(np.arange(A, dtype=np.uint8), row)
         # all-zero rows never used as contexts
 
-    buf = np.frombuffer(stream, dtype=np.uint8)
+    buf = np.frombuffer(stream, dtype="<u2")
     out = np.empty(n, dtype=np.uint8)
     T = -(-n // N)
-    x = states.astype(_U64)
+    x = states.astype(_U32).copy()
     ptr = 0
-    mask = _U64(M - 1)
+    mask = _U32(M - 1)
+    shift = _U32(16)
+    pbits = _U32(PROB_BITS)
+    L = _U32(RANS_L)
     lanes = np.arange(N)
     ctx_lane = np.zeros(N, dtype=np.int64)  # class 0 at lane starts
     for t in range(T):
@@ -166,24 +164,15 @@ def _decode_rans1(meta: dict, payload: memoryview) -> bytes:
         slot = (x & mask).astype(np.int64)
         sym = slot2sym[ctx_lane, slot]
         out[idx[active]] = sym[active]
-        f = F[ctx_lane, sym].astype(_U64)
-        st = S[ctx_lane, sym].astype(_U64)
-        nx = f * (x >> _U64(PROB_BITS)) + (x & mask) - st
+        f = F[ctx_lane, sym].astype(_U32)
+        st = S[ctx_lane, sym].astype(_U32)
+        nx = f * (x >> pbits) + (x & mask) - st
         x = np.where(active, nx, x)
-        c = np.zeros(N, dtype=np.int64)
-        c[active & (x < _U64(RANS_L))] = 1
-        c[active & (x < _U64(RANS_L >> 8))] = 2
-        total = int(c.sum())
+        need = active & (x < L)
+        total = int(need.sum())
         if total:
-            ofs = ptr + np.concatenate(([0], np.cumsum(c)))[:-1]
-            m1 = c >= 1
-            m2 = c == 2
-            b1 = buf[ofs[m1]].astype(_U64)
-            x1 = x.copy()
-            x1[m1] = (x1[m1] << _U64(8)) | b1
-            b2 = buf[ofs[m2] + 1].astype(_U64)
-            x1[m2] = (x1[m2] << _U64(8)) | b2
-            x = x1
+            w = buf[ptr : ptr + total].astype(_U32)
+            x[need] = (x[need] << shift) | w
             ptr += total
         ctx_lane = np.where(active, cls[sym].astype(np.int64), ctx_lane)
     return out.tobytes()

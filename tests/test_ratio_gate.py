@@ -58,3 +58,38 @@ def test_engine_beats_live_ppmd_if_built(block_and_bytes):
     # engine fixes; /root/reference/src/ext/_ppmdmodule.c:398-407)
     dec = pyppmd.Ppmd7Decoder(6, 16 << 20)
     assert dec.decode(ref, len(allb)) == allb
+
+
+# F2 csv-like corpus (FIXTURES.md): the reference's own benchmark family
+# (10000SalesRecords.csv, /root/reference/tests/test_ppmd7.py:73). Round-1
+# verdict: engine lost this gate by 2.8%; the fieldt typed-exception paths
+# (header row no longer poisons numeric columns) now win it with margin.
+F2_PINNED_PPMD = 306_037  # var.H o6/16MB on generate_csv_like() [2026-08-17]
+
+
+@pytest.fixture(scope="module")
+def f2_corpus():
+    from pyppmd_ray.fixtures import generate_csv_like
+
+    return generate_csv_like()
+
+
+def test_f2_engine_beats_pinned_ppmd(f2_corpus):
+    from pyppmd_ray.codecs import decode_blob
+    from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+    blob = encode_fieldt(f2_corpus)
+    assert decode_blob(blob) == f2_corpus
+    assert len(blob) <= F2_PINNED_PPMD, (
+        f"engine {len(blob)} > pyppmd var.H {F2_PINNED_PPMD} on F2"
+    )
+
+
+def test_f2_engine_beats_live_ppmd_if_built(f2_corpus):
+    sys.path.insert(0, "/tmp/refbuild/src")
+    pyppmd = pytest.importorskip("pyppmd")
+    from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+    ref = pyppmd.compress(f2_corpus, max_order=6, mem_size=16 << 20, variant="H")
+    blob = encode_fieldt(f2_corpus)
+    assert len(blob) <= len(ref), f"engine {len(blob)} > live pyppmd var.H {len(ref)}"
