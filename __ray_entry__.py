@@ -34,11 +34,11 @@ def _conc():
 
 
 def _roundtrip(sf_dir: str, table: str):
-    """encode → decode through the streaming pipeline (actor pools)."""
+    """encode → decode through the streaming pipeline (task-based: the
+    per-block codecs are stateless, so warm Ray workers beat actor pools)."""
     from pyppmd_ray.pipelines import decode_dataset, encode_dataset
 
-    enc = encode_dataset(_ds(sf_dir, table), concurrency=_conc())
-    return decode_dataset(enc, concurrency=_conc())
+    return decode_dataset(encode_dataset(_ds(sf_dir, table)))
 
 
 def entry() -> Any:

@@ -213,19 +213,20 @@ def _fill_null_lists(arr: pa.Array) -> pa.Array:
 def _encode_strcol(col: StrCol, hints: dict) -> bytes:
     layout = hints.get("layout")
     data_hint = hints.get("data_codec")
+    fsst_table = hints.get("fsst_table")  # shared pre-trained symbol table
     offsets, data = col
     n = int(offsets.size) - 1
     if layout == "sdict":
-        return encode_sdict(col, data_hint=data_hint)
+        return encode_sdict(col, data_hint=data_hint, fsst_table=fsst_table)
     if layout == "strs":
-        return encode_strings(col, data_hint=data_hint)
+        return encode_strings(col, data_hint=data_hint, fsst_table=fsst_table)
     # heuristic: dictionary when cardinality is low
     if n >= 8:
         codes, (voff, vdata) = dict_encode_strcol(col)
         distinct = voff.size - 1
         if distinct <= max(1, n // 2):
-            return encode_sdict(col, data_hint=data_hint)
-    return encode_strings(col, data_hint=data_hint)
+            return encode_sdict(col, data_hint=data_hint, fsst_table=fsst_table)
+    return encode_strings(col, data_hint=data_hint, fsst_table=fsst_table)
 
 
 def _decode_boolp(meta: dict, payload: memoryview):

@@ -262,6 +262,10 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
         c16 = _prev_from_hash(h16)
     else:
         c16 = np.full(0, -1, dtype=_I64)
+    # NOTE: lengths are computed LAZILY per chosen token (extend-from-0).
+    # A vectorized capped-length precompute was tried and reverted: the
+    # greedy parse visits ~10% of candidate positions, so precomputing
+    # lengths for all of them costs more than the per-token extends save.
     mpos = np.flatnonzero(c6 >= 0)
     db = data.tobytes()
     # memoryview scalar indexing: C-speed reads WITHOUT materializing
@@ -300,12 +304,12 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
                 score = 8 * L - (j - c2).bit_length()
         if L < 64:
             c1 = c6l[j]
-            if c1 != c:
+            if c1 >= 0 and c1 != c:
                 L1 = extend(db, c1, j, 0, n)
                 s1 = 8 * L1 - (j - c1).bit_length()
                 if s1 > score:
                     c, L, score = c1, L1, s1
-            if L < 24:
+            if L < 24 and c1 >= 0:
                 cc = c6l[c1]  # one chain hop on the 6-gram chain
                 if cc >= 0 and cc != c:
                     L2 = extend(db, cc, j, 0, n)

@@ -28,9 +28,13 @@ BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined", "fieldt")
 
 
 def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
-                      sample_hint: str | None = None) -> bytes:
+                      sample_hint: str | None = None,
+                      fsst_table: list[bytes] | None = None) -> bytes:
     """Pick the smallest byte-stream codec; ``sample_hint`` pins one codec
-    (the per-partition selector's decision) to skip per-block trials."""
+    (the per-partition selector's decision) to skip per-block trials.
+    ``fsst_table``: pre-trained shared symbol table (the actor-pool
+    trained-state path) — skips per-block table training; the table is
+    still embedded in the blob, so decode stays stateless."""
     if sample_hint is not None:
         allowed = (sample_hint,)
     from .rans_ctx import encode_rans1
@@ -41,7 +45,7 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
         "raw": encode_raw,
         "rans0": encode_rans0,
         "rans1": encode_rans1,
-        "fsst": encode_fsst,
+        "fsst": (lambda d: encode_fsst(d, table=fsst_table)) if fsst_table else encode_fsst,
         "lz": encode_lz,
         "lined": encode_lined,
         "fieldt": encode_fieldt,
@@ -52,10 +56,11 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
     return min(blobs, key=len)
 
 
-def encode_strings(col: StrCol, data_hint: str | None = None) -> bytes:
+def encode_strings(col: StrCol, data_hint: str | None = None,
+                   fsst_table: list[bytes] | None = None) -> bytes:
     offsets, data = col
     ob = encode_int_auto(np.ascontiguousarray(offsets, dtype=np.int64))
-    db = encode_bytes_auto(bytes(data), sample_hint=data_hint)
+    db = encode_bytes_auto(bytes(data), sample_hint=data_hint, fsst_table=fsst_table)
     payload = write_uvarint(len(ob)) + ob + db
     return pack_blob("strs", {"n": int(offsets.size) - 1}, payload)
 
@@ -120,10 +125,11 @@ def dict_encode_strcol(col: StrCol) -> tuple[np.ndarray, StrCol]:
     return codes, strcol_from_arrow(d.dictionary)
 
 
-def encode_sdict(col: StrCol, data_hint: str | None = None) -> bytes:
+def encode_sdict(col: StrCol, data_hint: str | None = None,
+                 fsst_table: list[bytes] | None = None) -> bytes:
     codes, (voff, vdata) = dict_encode_strcol(col)
     cb = encode_int_auto(codes)
-    vb = encode_strings((voff, vdata), data_hint=data_hint)
+    vb = encode_strings((voff, vdata), data_hint=data_hint, fsst_table=fsst_table)
     payload = write_uvarint(len(cb)) + cb + vb
     return pack_blob("sdict", {"n": int(codes.size)}, payload)
 

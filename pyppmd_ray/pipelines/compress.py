@@ -45,7 +45,13 @@ from ..stages.blocks import (
     encode_block,
     split_by_bytes,
 )
-from ..stages.encode import DEFAULT_BLOCK_BYTES, DecoderActor, EncoderActor
+from ..stages.encode import (
+    DEFAULT_BLOCK_BYTES,
+    DecoderActor,
+    EncoderActor,
+    decode_batches,
+    encode_batches,
+)
 from ..state.manifest import (
     completed_units,
     unit_blocks_path,
@@ -69,6 +75,37 @@ def default_concurrency() -> tuple[int, int]:
     return (1, max(2, cpus - 2))  # leave slots for read/write stages
 
 
+def plan_dataset_hints(
+    ds: rd.Dataset,
+    columns: list[str] | None = None,
+    sample_rows: int = 1024,
+    target_block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> tuple[dict | None, int | None]:
+    """Run the sampling codec selector ONCE on a leading sample; returns
+    (hints, batch_rows). Per-batch planning costs more than the encode
+    itself on ~1 MB batches (the selector runs trial encodes); one plan per
+    dataset amortizes it to zero. ``batch_rows`` converts the byte budget
+    into a row-count batch size (Ray batches are row-counted) so each task
+    gets ~one target block instead of whatever the read produced. For
+    heterogeneous inputs use ``plan="block"`` (per-batch planning) or
+    run_encode_job (per-unit)."""
+    from ..codecs.select import plan_table
+    from ..stages.blocks import table_uncompressed_bytes
+
+    try:
+        sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    except Exception:
+        return None, None
+    if columns:
+        sample = sample.select(columns)
+    if sample.num_rows == 0:
+        return None, None
+    avg_row = max(1, table_uncompressed_bytes(sample) // sample.num_rows)
+    batch_rows = int(min(1 << 16, max(256, target_block_bytes // avg_row)))
+    sub = split_by_bytes(sample, 2 << 20)
+    return (plan_table(sub[0]) if sub else None), batch_rows
+
+
 def encode_dataset(
     ds: rd.Dataset,
     *,
@@ -76,27 +113,158 @@ def encode_dataset(
     hints: dict | None = None,
     columns: list[str] | None = None,
     concurrency=None,
+    plan: str = "dataset",
+    batch_rows: int | None = None,
 ) -> rd.Dataset:
-    """ds → Dataset of encoded block rows (BLOCK_SCHEMA). Streaming; the
-    encoder is an actor pool holding selector/trained state per worker."""
-    kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
+    """ds → Dataset of encoded block rows (BLOCK_SCHEMA). Streaming.
+
+    Task-based by default: the per-block codecs are stateless across
+    batches, so plain tasks reuse Ray's warm workers (an actor pool costs
+    ~4-6 s of per-pipeline spin-up — several × the encode compute at small
+    scale, and pure overhead at any scale). Pass ``concurrency`` to force
+    an actor pool (e.g. to bound parallelism or pin resources).
+
+    ``plan``: "dataset" (default) samples the dataset once and broadcasts
+    the selector's hints to every task; "block" re-plans per batch
+    (heterogeneous inputs).
+
+    ``batch_rows``: rows per task batch; derived from the sample when
+    planning (≈ one target block per task — bigger tasks amortize parse
+    tables and scheduling)."""
+    if hints is None and plan == "dataset":
+        hints, sampled_rows = plan_dataset_hints(
+            ds, columns, target_block_bytes=target_block_bytes
+        )
+        batch_rows = batch_rows or sampled_rows
+    fn_kwargs = {
+        "target_block_bytes": target_block_bytes,
+        "hints": hints,
+        "columns": columns,
+    }
+    if concurrency is not None:
+        return ds.map_batches(
+            EncoderActor,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        EncoderActor,
-        fn_constructor_kwargs={
-            "target_block_bytes": target_block_bytes,
-            "hints": hints,
-            "columns": columns,
-        },
+        encode_batches,
+        fn_kwargs=fn_kwargs,
         batch_format="pyarrow",
-        batch_size=None,  # one input block per call; split by byte budget inside
-        **kwargs,
+        batch_size=batch_rows,  # ~one target block per task; split inside
     )
 
 
 def decode_dataset(encoded: rd.Dataset, *, concurrency=None) -> rd.Dataset:
-    kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
-    return encoded.map_batches(
-        DecoderActor, batch_format="pyarrow", batch_size=None, **kwargs
+    if concurrency is not None:
+        return encoded.map_batches(
+            DecoderActor, batch_format="pyarrow", batch_size=None, concurrency=concurrency
+        )
+    return encoded.map_batches(decode_batches, batch_format="pyarrow", batch_size=None)
+
+
+# ----------------------------------------------- shared trained state
+
+
+def train_shared_state(
+    ds: rd.Dataset,
+    columns: list[str] | None = None,
+    sample_rows: int = 4096,
+    target_block_bytes: int = DEFAULT_BLOCK_BYTES,
+) -> dict:
+    """Train partition-shared codec state from ONE sample pass: the
+    selector's plan plus, for every column it routed to FSST, a shared
+    symbol table trained on the sample. Returns a small state dict meant
+    to be ``ray.put`` once and fetched per worker (actor ``__init__``) —
+    the engine analogue of the reference's per-stream trained model, which
+    refuses pickling and must be built inside each worker
+    (`/root/reference/src/ext/_ppmdmodule.c:617-634`)."""
+    from ..codecs.fsst import train_table
+    from ..codecs.select import plan_table
+    from ..codecs.strings import strcol_from_arrow
+
+    sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    if columns:
+        sample = sample.select(columns)
+    from ..stages.blocks import table_uncompressed_bytes
+
+    avg_row = max(1, table_uncompressed_bytes(sample) // max(1, sample.num_rows))
+    batch_rows = int(min(1 << 16, max(256, target_block_bytes // avg_row)))
+    sub = split_by_bytes(sample, 2 << 20)
+    hints = plan_table(sub[0]) if sub else {}
+    for name, h in hints.items():
+        if h.get("data_codec") != "fsst":
+            continue
+        col = sample[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if not (
+            pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        ):
+            continue
+        import pyarrow.compute as pc
+
+        is_bin = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        if col.null_count:
+            col = pc.fill_null(col, b"" if is_bin else "")
+        _, data = strcol_from_arrow(col)
+        if len(data) >= 256:
+            h["fsst_table"] = train_table(data[: 1 << 20])
+    return {"hints": hints, "batch_rows": batch_rows}
+
+
+class SharedStateEncoderActor:
+    """The north-star stateful stage: trained symbol tables + plan fetched
+    from the object store ONCE per worker (``ray.get`` in ``__init__``),
+    reused for every batch. Blobs still embed their tables, so decode
+    stays a stateless pass."""
+
+    def __init__(self, state_ref, target_block_bytes: int = DEFAULT_BLOCK_BYTES,
+                 columns: list[str] | None = None):
+        state = ray.get(state_ref) if not isinstance(state_ref, dict) else state_ref
+        self.hints = state["hints"]
+        self.target_block_bytes = int(target_block_bytes)
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return encode_batches(
+            batch,
+            target_block_bytes=self.target_block_bytes,
+            hints=self.hints,
+            columns=self.columns,
+        )
+
+
+def encode_dataset_shared(
+    ds: rd.Dataset,
+    *,
+    target_block_bytes: int = DEFAULT_BLOCK_BYTES,
+    columns: list[str] | None = None,
+    concurrency=None,
+) -> rd.Dataset:
+    """Encode with partition-shared trained state: train once on a sample,
+    broadcast via ray.put, actor pool fetches per worker. Use when the
+    corpus is homogeneous enough that one symbol table serves all blocks
+    (skips per-block FSST training)."""
+    state = train_shared_state(
+        ds, columns, target_block_bytes=target_block_bytes
+    )
+    batch_rows = state.pop("batch_rows", None)
+    ref = ray.put(state)
+    return ds.map_batches(
+        SharedStateEncoderActor,
+        fn_constructor_kwargs={
+            "state_ref": ref,
+            "target_block_bytes": target_block_bytes,
+            "columns": columns,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_rows,
+        concurrency=concurrency or default_concurrency(),
     )
 
 

@@ -146,7 +146,11 @@ def encode_block(
             "type": type_to_str(
                 tbl[name].type if not isinstance(tbl[name], pa.ChunkedArray) else tbl[name].type
             ),
-            "hints": hints.get(name, {}),
+            # shared trained tables (raw bytes) are embedded in the blob,
+            # not the JSON meta
+            "hints": {
+                k: v for k, v in hints.get(name, {}).items() if k != "fsst_table"
+            },
         }
     payload = bytearray()
     payload += write_uvarint(len(blobs) + (1 if perm_blob else 0))

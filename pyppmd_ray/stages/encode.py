@@ -1,11 +1,20 @@
-"""Stateful encode/decode stages for Ray Data actor pools.
+"""Encode/decode stages for Ray Data.
 
-The reference's codec objects refuse pickling
-(`/root/reference/src/ext/_ppmdmodule.c:617-634`) — codec state must be
-constructed inside each worker. These callable classes are the Ray Data
-translation: construct in ``__init__`` (once per actor), encode per batch
-in ``__call__``; pass to ``ds.map_batches(Cls, concurrency=N,
-batch_format="pyarrow")``.
+Two execution shapes, chosen by whether the stage holds cross-batch
+state:
+
+- **Task-based (default)**: the per-block codecs are deterministic and
+  stateless across batches (every block trains its own tables), so plain
+  ``map_batches(encode_batches, fn_kwargs=...)`` is the idiomatic Ray
+  shape — tasks reuse Ray's warm worker processes, no per-pipeline actor
+  spin-up (measured: a 30-actor pool costs ~4-6 s of import/startup per
+  pipeline, several × the actual encode compute at bench scale).
+- **Actor pool**: for stages that DO hold cross-batch state — e.g.
+  shared trained dictionaries fetched once per worker
+  (:class:`SharedDictEncoderActor` in pipelines/compress.py) — matching
+  the reference's non-picklable-codec-state constraint
+  (`/root/reference/src/ext/_ppmdmodule.c:617-634`): construct in
+  ``__init__`` (once per actor), encode per batch in ``__call__``.
 """
 
 from __future__ import annotations
@@ -17,13 +26,40 @@ from .blocks import BLOCK_SCHEMA, decode_block, encode_block, split_by_bytes
 DEFAULT_BLOCK_BYTES = 16 << 20
 
 
-class EncoderActor:
-    """pa.Table batch → table of encoded block rows (BLOCK_SCHEMA).
+def encode_batches(
+    batch: pa.Table,
+    *,
+    target_block_bytes: int = DEFAULT_BLOCK_BYTES,
+    hints: dict | None = None,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Stateless per-batch encode: split by byte budget, plan once per
+    batch (deterministic), encode each sub-block. Use with
+    ``map_batches(encode_batches, fn_kwargs={...})``."""
+    if columns:
+        batch = batch.select(columns)
+    subs = split_by_bytes(batch, target_block_bytes)
+    if not subs:
+        return BLOCK_SCHEMA.empty_table()
+    if hints is None:
+        from ..codecs.select import plan_table
 
-    ``hints``: optional per-column codec pins ({col: {"layout":...,
-    "data_codec":...}}); when absent the sampling selector runs per block
-    (deterministic, so retries produce identical bytes).
-    """
+        hints = plan_table(subs[0])
+    rows = [encode_block(sub, hints=hints) for sub in subs]
+    return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+
+
+def decode_batches(batch: pa.Table):
+    """Stateless decode: yields one decoded table per block so downstream
+    stages stream block-by-block instead of waiting on a concat."""
+    for p in batch["payload"]:
+        yield decode_block(p.as_py())
+
+
+class EncoderActor:
+    """Actor-pool variant of :func:`encode_batches` (state in __init__ —
+    use when hints carry trained shared state worth building once per
+    worker)."""
 
     def __init__(
         self,
@@ -36,28 +72,16 @@ class EncoderActor:
         self.columns = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.columns:
-            batch = batch.select(self.columns)
-        subs = split_by_bytes(batch, self.target_block_bytes)
-        if not subs:
-            return BLOCK_SCHEMA.empty_table()
-        # plan once per batch (deterministic: derived from the batch's own
-        # first sub-block), reuse across its sub-blocks
-        hints = self.hints
-        if hints is None:
-            from ..codecs.select import plan_table
-
-            hints = plan_table(subs[0])
-        rows = [encode_block(sub, hints=hints) for sub in subs]
-        return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+        return encode_batches(
+            batch,
+            target_block_bytes=self.target_block_bytes,
+            hints=self.hints,
+            columns=self.columns,
+        )
 
 
 class DecoderActor:
-    """table of encoded block rows → original pa.Table slices.
-
-    Generator UDF: yields one decoded table per block so downstream stages
-    stream block-by-block instead of waiting on a concat."""
+    """Actor-pool variant of :func:`decode_batches`."""
 
     def __call__(self, batch: pa.Table):
-        for p in batch["payload"]:
-            yield decode_block(p.as_py())
+        yield from decode_batches(batch)

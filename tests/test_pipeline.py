@@ -176,3 +176,27 @@ class TestPartitioningInvariance:
         rows = [encode_block(p) for p in parts]
         recon = pa.concat_tables([decode_block(r["payload"]) for r in rows])
         assert recon.equals(source_tbl.select(recon.column_names))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shared_state_encode_roundtrip(tmp_path):
+    """North-star stateful stage: trained tables broadcast once (ray.put),
+    fetched per actor, reused across blocks — decode must still be a
+    stateless pass producing bit-identical rows."""
+    import ray.data as rd
+
+    from pyppmd_ray.fixtures import generate_source_table
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset_shared, train_shared_state
+
+    t = generate_source_table(2000, seed=7)
+    ds = rd.from_arrow(t)
+    state = train_shared_state(ds)
+    assert state["hints"], "selector produced no plan"
+    enc = encode_dataset_shared(ds, target_block_bytes=1 << 20, concurrency=2)
+    dec = pa.concat_tables(
+        decode_dataset(enc).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    assert dec.num_rows == t.num_rows
+    a = dec.sort_by("path")
+    b = t.sort_by("path")
+    assert a.equals(b.select(a.column_names))
