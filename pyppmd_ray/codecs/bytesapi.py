@@ -35,15 +35,32 @@ _ONE_SHOT = {
 }
 
 DEFAULT_BLOCK_SIZE = 4 << 20
+# public parameter bounds — the analogue of the reference's max_order /
+# mem_size clamping (`/root/reference/src/ext/_ppmdmodule.c:157-174`,
+# which silently clamps out-of-range values rather than raising)
+MIN_BLOCK_SIZE = 4 << 10
+MAX_BLOCK_SIZE = 256 << 20
+
+
+def clamp_block_size(v: int) -> int:
+    """Silently clamp like the reference clamps mem_size
+    (`/root/reference/src/ext/_ppmdmodule.c:157-174`)."""
+    try:
+        v = int(v)
+    except (TypeError, ValueError) as e:
+        raise CodecError(f"block_size must be an int, got {v!r}") from e
+    return max(MIN_BLOCK_SIZE, min(MAX_BLOCK_SIZE, v))
 
 
 def compress(data: bytes | bytearray | memoryview | str, *, codec: str = "lz") -> bytes:
     """One-shot compress; str is UTF-8 encoded first (reference
-    `__init__.py:144-145` behavior)."""
+    `__init__.py:144-145` behavior). ``codec`` is validated against the
+    public codec set (CodecError on unknown, like the reference's variant
+    check, `__init__.py:142-149`)."""
     if isinstance(data, str):
         data = data.encode("utf-8")
     if codec not in _ONE_SHOT:
-        raise CodecError(f"unknown codec {codec!r}")
+        raise CodecError(f"unknown codec {codec!r}; choose from {sorted(_ONE_SHOT)}")
     return _ONE_SHOT[codec](bytes(data))
 
 
@@ -70,9 +87,9 @@ class BlockCompressor:
 
     def __init__(self, codec: str = "lz", block_size: int = DEFAULT_BLOCK_SIZE):
         if codec not in _ONE_SHOT:
-            raise CodecError(f"unknown codec {codec!r}")
+            raise CodecError(f"unknown codec {codec!r}; choose from {sorted(_ONE_SHOT)}")
         self.codec = codec
-        self.block_size = int(block_size)
+        self.block_size = clamp_block_size(block_size)
         self._buf = bytearray()
         self._flushed = False
 

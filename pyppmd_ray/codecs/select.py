@@ -167,3 +167,37 @@ def plan_table(tbl: pa.Table) -> dict[str, dict]:
                 arr = pc.fill_null(arr, b"" if is_bin else "")
             plans[name] = plan_strcol(strcol_from_arrow(arr))
     return plans
+
+
+def validate_hints(hints: dict | None) -> dict | None:
+    """Validate a user-supplied hints dict at pipeline entry (the engine's
+    public parameter surface, analogue of the reference's max_order /
+    mem_size / variant validation, `/root/reference/src/ext/
+    _ppmdmodule.c:157-174` + `__init__.py:142-149`). Raises CodecError."""
+    from .base import CodecError
+    from .strings import BYTE_CODECS
+
+    if hints is None:
+        return None
+    if not isinstance(hints, dict):
+        raise CodecError(f"hints must be a dict of per-column dicts, got {type(hints).__name__}")
+    for col, h in hints.items():
+        if not isinstance(h, dict):
+            raise CodecError(f"hints[{col!r}] must be a dict, got {type(h).__name__}")
+        layout = h.get("layout")
+        if layout not in (None, "sdict", "strs"):
+            raise CodecError(f"hints[{col!r}]['layout'] must be 'sdict' or 'strs', got {layout!r}")
+        dc = h.get("data_codec")
+        if dc is not None and dc not in BYTE_CODECS:
+            raise CodecError(
+                f"hints[{col!r}]['data_codec'] must be one of {BYTE_CODECS}, got {dc!r}"
+            )
+        ft = h.get("fsst_table")
+        if ft is not None and not (
+            isinstance(ft, list) and all(isinstance(s, (bytes, bytearray)) for s in ft)
+        ):
+            raise CodecError(f"hints[{col!r}]['fsst_table'] must be a list of bytes")
+        unknown = set(h) - {"layout", "data_codec", "fsst_table"}
+        if unknown:
+            raise CodecError(f"hints[{col!r}] has unknown keys {sorted(unknown)}")
+    return hints

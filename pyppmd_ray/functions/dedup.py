@@ -85,10 +85,15 @@ class MinHasher:
     are built once per actor. sig[i] = min over distinct shingles s of
     (a_i * h32(s) + b_i) mod M61, h32 = first 4 bytes of sha256."""
 
+    _MAX_CACHE = 1 << 20
+
     def __init__(self, num_hashes: int = 128, shingle: int = 3, seed: int = 42):
         self.a, self.b = minhash_params(num_hashes, seed)
         self.num_hashes = num_hashes
         self.shingle = shingle
+        # hot shingles hash once per actor (sha256 per distinct shingle is
+        # the per-doc hot loop; real corpora repeat shingles heavily)
+        self._cache: dict[str, int] = {}
 
     def _shingles(self, text: str) -> set[str]:
         toks = TOKEN_RE.findall(text)
@@ -104,7 +109,16 @@ class MinHasher:
         sh = self._shingles(text)
         if not sh:
             return None
-        h = np.array([_sha_prefix_u64(s, 4) for s in sh], dtype=np.uint64)
+        cache = self._cache
+        vals = []
+        for s in sh:
+            v = cache.get(s)
+            if v is None:
+                v = _sha_prefix_u64(s, 4)
+                if len(cache) < self._MAX_CACHE:
+                    cache[s] = v
+            vals.append(v)
+        h = np.array(vals, dtype=np.uint64)
         # a*x + b < 2^63 + 2^61 — exact, then mod M61
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_M61)
         return vals.min(axis=1)

@@ -131,6 +131,9 @@ def encode_dataset(
     ``batch_rows``: rows per task batch; derived from the sample when
     planning (≈ one target block per task — bigger tasks amortize parse
     tables and scheduling)."""
+    from ..codecs.select import validate_hints
+
+    validate_hints(hints)
     if hints is None and plan == "dataset":
         hints, sampled_rows = plan_dataset_hints(
             ds, columns, target_block_bytes=target_block_bytes
@@ -407,6 +410,9 @@ def run_encode_job(
     unit_bytes: int = 64 << 20,
 ) -> dict:
     """Resumable distributed encode. Returns a summary dict."""
+    from ..codecs.select import validate_hints
+
+    validate_hints(hints)
     os.makedirs(out_dir, exist_ok=True)
     units = plan_units(input_path, columns, unit_bytes=unit_bytes)
     done = completed_units(out_dir) if resume else set()
@@ -423,25 +429,32 @@ def run_encode_job(
              "columns": json.dumps(u["columns"]) if u["columns"] else ""}
             for u in todo
         ]
-        stats = (
-            rd.from_items(items)
-            .map_batches(
-                EncodeUnit,
-                fn_constructor_kwargs={
-                    "out_dir": out_dir,
-                    "target_block_bytes": target_block_bytes,
-                    "hints": hints,
-                },
-                batch_size=1,
-                batch_format="pyarrow",
-                **kwargs,
-            )
-            .to_pandas()
+        from ray.data.aggregate import Sum
+
+        stats_ds = rd.from_items(items).map_batches(
+            EncodeUnit,
+            fn_constructor_kwargs={
+                "out_dir": out_dir,
+                "target_block_bytes": target_block_bytes,
+                "hints": hints,
+            },
+            batch_size=1,
+            batch_format="pyarrow",
+            **kwargs,
         )
-        summary["bytes_in"] = int(stats["bytes_in"].sum())
-        summary["bytes_out"] = int(stats["bytes_out"].sum())
-        summary["n_rows"] = int(stats["n_rows"].sum())
-        summary["n_blocks"] = int(stats["n_blocks"].sum())
+        # streamed reduce — at 10^7 units a driver-side to_pandas() would
+        # hold the whole per-unit stats table; the aggregate keeps only
+        # four counters on the driver
+        agg = stats_ds.aggregate(
+            Sum("bytes_in", alias_name="bytes_in"),
+            Sum("bytes_out", alias_name="bytes_out"),
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_blocks", alias_name="n_blocks"),
+        )
+        summary["bytes_in"] = int(agg["bytes_in"])
+        summary["bytes_out"] = int(agg["bytes_out"])
+        summary["n_rows"] = int(agg["n_rows"])
+        summary["n_blocks"] = int(agg["n_blocks"])
         summary["ratio"] = summary["bytes_in"] / max(1, summary["bytes_out"])
     return summary
 

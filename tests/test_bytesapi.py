@@ -66,3 +66,35 @@ def test_flush_twice_raises():
     c.flush()
     with pytest.raises(ppr.CodecError):
         c.flush()
+
+
+def test_block_size_clamped_like_reference():
+    # the reference silently clamps mem_size (/root/reference/src/ext/
+    # _ppmdmodule.c:157-174); block_size behaves the same
+    from pyppmd_ray.codecs.bytesapi import (
+        MAX_BLOCK_SIZE,
+        MIN_BLOCK_SIZE,
+        BlockCompressor,
+        clamp_block_size,
+    )
+
+    assert BlockCompressor(block_size=1).block_size == MIN_BLOCK_SIZE
+    assert BlockCompressor(block_size=1 << 40).block_size == MAX_BLOCK_SIZE
+    assert clamp_block_size(8 << 20) == 8 << 20
+    with pytest.raises(ppr.CodecError):
+        clamp_block_size("big")
+
+
+def test_unknown_codec_and_bad_hints_raise():
+    from pyppmd_ray.codecs.select import validate_hints
+
+    with pytest.raises(ppr.CodecError):
+        ppr.compress(b"x", codec="ppmd9")
+    with pytest.raises(ppr.CodecError):
+        validate_hints({"content": {"layout": "zipped"}})
+    with pytest.raises(ppr.CodecError):
+        validate_hints({"content": {"data_codec": "bzip2"}})
+    with pytest.raises(ppr.CodecError):
+        validate_hints({"content": {"extra_knob": 1}})
+    assert validate_hints({"content": {"layout": "strs", "data_codec": "lz"}})
+    assert validate_hints(None) is None
