@@ -282,6 +282,15 @@ def _q_compression_by_lang(sf_dir: str):
     )
 
 
+def _q_roundtrip_partitioned(sf_dir: str):
+    """Round-trip through the lang-partitioned encode path (global
+    sort(lang) shuffle before blocking — SURVEY.md §2.6)."""
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset
+
+    enc = encode_dataset(_ds(sf_dir, "documents"), partition_by=("lang",))
+    return decode_dataset(enc)
+
+
 def _q_chunking_invariance(sf_dir: str):
     """Encode at two block budgets; decoded rows must be identical — the
     reference's split-point invariance (tests/test_ppmd7.py:23-53).
@@ -316,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_region": _q_roundtrip("region"),
         "roundtrip_supplier": _q_roundtrip("supplier"),
         "chunking_invariance": _q_chunking_invariance,
+        "roundtrip_partitioned": _q_roundtrip_partitioned,
         "compression_by_lang": _q_compression_by_lang,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -613,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_region": "SELECT * FROM region",
         "roundtrip_supplier": "SELECT * FROM supplier",
         "chunking_invariance": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_partitioned": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "token_count": (
             "SELECT doc_id, CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "

@@ -166,7 +166,6 @@ def _run_bench() -> dict:
     n_pairs = minhash_lsh_pairs(
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
         threshold=0.3,
-        concurrency=max(1, NUM_CPUS // 2 - 1),
     ).count()  # lazy Dataset — count() drives the whole LSH pipeline
     queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
     extra["minhash_pairs"] = int(n_pairs)

@@ -8,6 +8,11 @@ Commands (each owns its Ray session; `ray job submit` compatible):
   verify  INPUT OUT_DIR  per-row sha256 + column-hash verification
   ingest  SRC_DIR DEST   directory of source files → north-rule parquet
   stats   OUT_DIR        per-unit lineage/metrics summary from manifests
+  dedup   INPUT DEST [--method exact|minhash] [--threshold T]
+          deduplicate a documents-shaped table (exact keeps min-id rows;
+          minhash writes the near-dup pair list)
+  analyze INPUT DEST [--ops tokens,lang,quality,simhash,winnow]
+          per-document text-analysis columns → parquet
 """
 
 from __future__ import annotations
@@ -58,6 +63,17 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("stats")
     s.add_argument("out_dir")
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("input")
+    dd.add_argument("dest")
+    dd.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    dd.add_argument("--threshold", type=float, default=0.5)
+
+    an = sub.add_parser("analyze")
+    an.add_argument("input")
+    an.add_argument("dest")
+    an.add_argument("--ops", default="tokens,lang,quality")
 
     args = p.parse_args(argv)
 
@@ -114,6 +130,49 @@ def main(argv: list[str] | None = None) -> int:
             ds = read_source_files(args.src_dir, repo=args.repo)
             ds.write_parquet(args.dest)
             print(json.dumps({"dest": args.dest, "rows": ds.count()}))
+        elif args.cmd == "dedup":
+            import ray.data as rd
+
+            ds = rd.read_parquet(args.input)
+            if args.method == "exact":
+                from pyppmd_ray.functions.dedup import dedup_exact
+
+                out_ds = dedup_exact(ds)
+            else:
+                from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+
+                out_ds = minhash_lsh_pairs(ds, threshold=args.threshold)
+            out_ds.write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest, "rows": out_ds.count(), "method": args.method}))
+        elif args.cmd == "analyze":
+            import ray.data as rd
+
+            from pyppmd_ray.functions.dedup import SimHasher
+            from pyppmd_ray.functions.text import (
+                LangId,
+                QualityScorer,
+                TokenCounter,
+                WinnowFingerprinter,
+            )
+
+            stages = {
+                "tokens": TokenCounter,
+                "lang": LangId,
+                "quality": QualityScorer,
+                "simhash": SimHasher,
+                "winnow": WinnowFingerprinter,
+            }
+            ds = rd.read_parquet(args.input)
+            counts = {}
+            for op in args.ops.split(","):
+                op = op.strip()
+                if op not in stages:
+                    raise SystemExit(f"unknown op {op!r}; choose from {sorted(stages)}")
+                out_ds = ds.map_batches(stages[op](), batch_format="pyarrow")
+                dest = os.path.join(args.dest, op)
+                out_ds.write_parquet(dest)
+                counts[op] = out_ds.count()
+            print(json.dumps({"dest": args.dest, "rows": counts}))
     finally:
         ray.shutdown()
     return 0

@@ -213,13 +213,19 @@ def minhash_lsh_pairs(
     O(docs × bands); the driver only sees the final (tiny) pair set."""
     from ray.data.aggregate import Max
 
-    conc = concurrency or 2
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle": shingle},
-        batch_format="pyarrow",
-        concurrency=conc,
-    )
+    if concurrency:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_hashes": num_hashes, "shingle": shingle},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # instance = task mode: reuses Ray's warm workers, no pool spin-up
+        # (the hasher state is just the 128 (a,b) constants)
+        sigs = ds.map_batches(
+            MinHasher(num_hashes=num_hashes, shingle=shingle), batch_format="pyarrow"
+        )
     band_rows = sigs.map_batches(
         lambda b: minhash_bands(b, bands=bands, rows=rows), batch_format="pyarrow"
     )

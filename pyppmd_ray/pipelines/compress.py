@@ -115,6 +115,7 @@ def encode_dataset(
     concurrency=None,
     plan: str = "dataset",
     batch_rows: int | None = None,
+    partition_by: tuple[str, ...] | list[str] | None = None,
 ) -> rd.Dataset:
     """ds → Dataset of encoded block rows (BLOCK_SCHEMA). Streaming.
 
@@ -130,10 +131,22 @@ def encode_dataset(
 
     ``batch_rows``: rows per task batch; derived from the sample when
     planning (≈ one target block per task — bigger tasks amortize parse
-    tables and scheduling)."""
+    tables and scheduling).
+
+    ``partition_by``: the north rule's lang-aware global repartition —
+    an explicit ``ds.sort(keys)`` (all-to-all range shuffle) so same-key
+    rows land in the same blocks and shared dictionaries/windows see
+    denser redundancy. The per-block cluster sort already handles
+    intra-block locality; this pays the shuffle for CROSS-block locality
+    (~2% ratio on the mixed-lang documents table, more when languages
+    genuinely diverge). Skew note: the sort's range partitioner splits
+    hot keys across blocks, so one giant language cannot pin a single
+    task."""
     from ..codecs.select import validate_hints
 
     validate_hints(hints)
+    if partition_by:
+        ds = ds.sort(list(partition_by))
     if hints is None and plan == "dataset":
         hints, sampled_rows = plan_dataset_hints(
             ds, columns, target_block_bytes=target_block_bytes
