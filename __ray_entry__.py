@@ -238,6 +238,46 @@ def _q_lsh_ann(sf_dir: str):
     )
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from pyppmd_ray.functions.text import BpeTokenCounter
+
+    return _ds(sf_dir, "documents").map_batches(
+        BpeTokenCounter(), batch_format="pyarrow"
+    )
+
+
+def _q_embedding_quantize(sf_dir: str):
+    from pyppmd_ray.functions.embeddings import EmbeddingQuantizer
+
+    return _ds(sf_dir, "embeddings").map_batches(
+        EmbeddingQuantizer(), batch_format="pyarrow"
+    )
+
+
+def _q_ivf_ann(sf_dir: str):
+    from pyppmd_ray.functions.ann import ivf_topk
+
+    tbl = pa.concat_tables(
+        _ds(sf_dir, "embeddings").iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    order = np.argsort(ids)[:4]
+    qids = ids[order]
+    queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
+    import ray.data as rd
+
+    out = ivf_topk(rd.from_arrow(tbl), queries, k=10, n_centroids=16, nprobe=4,
+                   concurrency=_conc())
+    qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
+    return pa.table(
+        {
+            "q": qcol,
+            "rank": out["rank"].cast(pa.int64()),
+            "vec_id": out["vec_id"],
+        }
+    )
+
+
 def _q_multimodal(sf_dir: str):
     from pyppmd_ray.functions.multimodal import MediaDecoder, to_payload_table
 
@@ -343,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
+        "ann_ivf_topk": _q_ivf_ann,
+        "embedding_quantize": _q_embedding_quantize,
+        "token_count_bpe": _q_token_count_bpe,
         # aggregates / pipeline ops
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
@@ -596,6 +639,69 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > {th
 """
 
 
+def _bpe_token_sql() -> str:
+    from pyppmd_ray.functions.text import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
+    )
+
+
+def _quantize_sql() -> str:
+    return """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, amax,
+  CASE WHEN amax > 0
+       THEN list_transform(e, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))
+       ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+  END AS qvec
+FROM base
+"""
+
+
+def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10, nq: int = 4) -> str:
+    return f"""
+WITH cents AS (
+  SELECT embedding AS ce, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+  SELECT vec_id, embedding, cidx AS acid FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cidx) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS qi, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT {nq}),
+qprobe AS (
+  SELECT qi, cidx FROM (
+    SELECT q.qi, c.cidx,
+      row_number() OVER (PARTITION BY q.qi
+        ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cidx) AS rn
+    FROM qs q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT CAST(q.qi AS BIGINT) AS q, a.vec_id,
+    list_cosine_similarity(a.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+  FROM assign a JOIN qprobe p ON a.acid = p.cidx JOIN qs q ON q.qi = p.qi
+),
+r AS (
+  SELECT q, vec_id,
+    CAST(row_number() OVER (PARTITION BY q ORDER BY s DESC, vec_id) - 1 AS BIGINT) AS rank
+  FROM cand
+)
+SELECT q, rank, vec_id FROM r WHERE rank < {k}
+"""
+
+
 def _multimodal_sql() -> str:
     from pyppmd_ray.functions.multimodal import PNG_OVERHEAD
 
@@ -670,6 +776,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _quality_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ivf_sql(),
+        "embedding_quantize": _quantize_sql(),
+        "token_count_bpe": _bpe_token_sql(),
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "multimodal_meta": _multimodal_sql(),
         # rows-only (non-SQL-expressible): compression_by_lang — compressed

@@ -119,6 +119,103 @@ class LshBucketer:
         )
 
 
+class IvfScorer:
+    """Actor: holds normalized centroids + queries + per-query probe sets
+    (one ray.get in __init__). Each batch assigns its rows to their
+    nearest centroid locally and scores only rows whose list is probed."""
+
+    def __init__(self, ref, k: int):
+        cents, qnorm, probe_mask = ray.get(ref)
+        self.cents = cents          # (C, dim), L2-normalized
+        self.qnorm = qnorm          # (nq, dim), L2-normalized
+        self.probe_mask = probe_mask  # (nq, C) bool
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        # nearest centroid by cosine; argmax ties → lowest centroid index
+        assign = np.argmax(mn @ self.cents.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.qnorm.shape[0]):
+            mask = self.probe_mask[qi][assign]
+            if not mask.any():
+                continue
+            s = mn[mask] @ self.qnorm[qi]
+            cids = ids[mask]
+            top = np.lexsort((cids, -s))[: self.k]
+            out_q.extend([qi] * len(top))
+            out_id.extend(cids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "q": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    ds: rd.Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+    nprobe: int = 4, concurrency=None,
+) -> pa.Table:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    centroid lists; queries probe only the ``nprobe`` nearest lists and
+    exact-score inside — the inverted-file shape (centroid id is the
+    partition key at scale). Centroids here are the ``n_centroids``
+    lowest-vec_id vectors, L2-normalized (deterministic seeding instead of
+    k-means, so the partition assignment is SQL-reproducible; classic IVF
+    trains centroids offline — the Ray dataflow is identical either way).
+    Recall < 1 by design. Returns (q, rank, vec_id)."""
+    q = np.asarray(queries, dtype=np.float64)
+    seed_tbl = pa.concat_tables(
+        ds.sort("vec_id").limit(n_centroids).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    cents = np.array(seed_tbl["embedding"].to_pylist(), dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    cents = cents / cn[:, None]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qnorm = q / qn[:, None]
+    # probe sets: top-nprobe centroids per query (ties → lowest index)
+    qc = qnorm @ cents.T  # (nq, C)
+    order = np.lexsort((np.broadcast_to(np.arange(cents.shape[0]), qc.shape), -qc), axis=1)
+    probe_mask = np.zeros(qc.shape, dtype=bool)
+    for qi in range(q.shape[0]):
+        probe_mask[qi, order[qi, :nprobe]] = True
+    ref = ray.put((cents, qnorm, probe_mask))
+    cand = ds.map_batches(
+        IvfScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    )
+    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    out_q, out_rank, out_id = [], [], []
+    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
+    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
+    for qi in range(q.shape[0]):
+        mask = qcol == qi
+        top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
+        for r, vid in enumerate(top_ids):
+            out_q.append(qi)
+            out_rank.append(r)
+            out_id.append(int(vid))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.int32()),
+            "rank": pa.array(out_rank, type=pa.int32()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+        }
+    )
+
+
 class LshScorer:
     """Actor: holds planes + normalized queries + per-query probe-bucket
     masks (one ray.get in __init__). Each batch computes its rows' buckets

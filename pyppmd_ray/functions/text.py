@@ -157,6 +157,39 @@ class QualityScorer:
         )
 
 
+# GPT-2-style pre-tokenizer, with CONCRETE character classes so Python's
+# re and DuckDB's RE2 agree byte-for-byte (\p{L} is unsupported in Python
+# re; both sides use this literal class instead)
+_LETTER = "A-Za-zÀ-ÖØ-öø-ÿ一-鿿"
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    f"| ?[{_LETTER}]+"
+    "| ?[0-9]+"
+    f"| ?[^ \t\n\r{_LETTER}0-9]+"
+    "|[ \t\n\r]+"
+)
+
+
+class BpeTokenCounter:
+    """(doc_id, n_bpe_tokens) — GPT-2-style pre-tokenization count (the
+    'BPE-ish regex' token estimate for training-data budgeting). Matches
+    the DuckDB oracle's regexp_extract_all with the identical pattern."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            len(self.pat.findall(t or "")) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
 def sha256_hex_column(batch: pa.Table, column: str = "text") -> pa.Table:
     """(doc_id, fp) with fp = sha256 hex of the UTF-8 text — SQL-matched
     document fingerprint (DuckDB ``sha256(text)``)."""

@@ -257,3 +257,39 @@ def test_ingest_non_utf8_file(tmp_path):
     assert content_bytes(rows["weird.txt"]["content"], rows["weird.txt"]["encoding"]) == raw
     assert rows["ok.py"]["encoding"] == "utf-8"
     assert content_bytes(rows["ok.py"]["content"]) == b"print('hi')\n"
+
+
+class TestNewOps:
+    def test_bpe_token_counter(self):
+        from pyppmd_ray.functions.text import BpeTokenCounter
+
+        out = BpeTokenCounter()(docs_table())
+        counts = out["n_bpe_tokens"].to_pylist()
+        assert counts[6] == 0  # empty doc
+        assert all(c >= 0 for c in counts)
+        # contractions count as separate tokens: "it's" -> "it", "'s"
+        one = BpeTokenCounter()(
+            pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": ["it's fine"]})
+        )
+        assert one["n_bpe_tokens"][0].as_py() == 3
+
+    def test_embedding_quantizer_roundtrip_bounds(self):
+        from pyppmd_ray.functions.embeddings import EmbeddingQuantizer
+
+        rng = np.random.default_rng(3)
+        emb = rng.normal(size=(10, 8)).astype(np.float32)
+        emb[0] = 0  # zero vector
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(10), type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+            }
+        )
+        out = EmbeddingQuantizer()(tbl)
+        q = np.array(out["qvec"].to_pylist())
+        assert (np.abs(q) <= 127).all()
+        assert (q[0] == 0).all() and out["amax"][0].as_py() == 0.0
+        # dequantization error bounded by half a quantization step
+        amax = np.array(out["amax"].to_pylist())[1:, None]
+        deq = q[1:] * amax / 127.0
+        assert np.abs(deq - emb[1:].astype(np.float64)).max() <= (amax / 127.0 / 2 + 1e-12).max()
