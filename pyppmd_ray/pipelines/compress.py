@@ -173,12 +173,23 @@ def encode_dataset(
     )
 
 
-def decode_dataset(encoded: rd.Dataset, *, concurrency=None) -> rd.Dataset:
+def decode_dataset(
+    encoded: rd.Dataset,
+    *,
+    concurrency=None,
+    on_error: str = "raise",
+    quarantine_dir: str | None = None,
+) -> rd.Dataset:
     if concurrency is not None:
         return encoded.map_batches(
             DecoderActor, batch_format="pyarrow", batch_size=None, concurrency=concurrency
         )
-    return encoded.map_batches(decode_batches, batch_format="pyarrow", batch_size=None)
+    return encoded.map_batches(
+        decode_batches,
+        fn_kwargs={"on_error": on_error, "quarantine_dir": quarantine_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 # ----------------------------------------------- shared trained state
@@ -476,8 +487,18 @@ def read_encoded(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(out_dir, "blocks"))
 
 
-def run_decode_job(out_dir: str, *, concurrency=None) -> rd.Dataset:
-    return decode_dataset(read_encoded(out_dir), concurrency=concurrency)
+def run_decode_job(
+    out_dir: str, *, concurrency=None, quarantine: bool = False
+) -> rd.Dataset:
+    """Decode all blocks under ``out_dir``. ``quarantine=True``: corrupt
+    blocks are skipped and parked under ``out_dir/_quarantine/`` instead
+    of failing the job."""
+    return decode_dataset(
+        read_encoded(out_dir),
+        concurrency=concurrency,
+        on_error="quarantine" if quarantine else "raise",
+        quarantine_dir=os.path.join(out_dir, "_quarantine") if quarantine else None,
+    )
 
 
 # ----------------------------------------------------------------- verify

@@ -49,11 +49,42 @@ def encode_batches(
     return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
 
 
-def decode_batches(batch: pa.Table):
+def decode_batches(
+    batch: pa.Table, *, on_error: str = "raise", quarantine_dir: str | None = None
+):
     """Stateless decode: yields one decoded table per block so downstream
-    stages stream block-by-block instead of waiting on a concat."""
-    for p in batch["payload"]:
-        yield decode_block(p.as_py())
+    stages stream block-by-block instead of waiting on a concat.
+
+    ``on_error="quarantine"``: a corrupt block doesn't poison the job —
+    it is skipped, and its payload + error are written to
+    ``quarantine_dir`` keyed by block_id for offline inspection (the
+    engine's poison-row policy; the reference's analogue is a hard
+    ``PpmdError`` mid-stream, `/root/reference/src/pyppmd/c/c_ppmd.py:
+    21-23`, which kills the whole decode)."""
+    from ..codecs.base import CodecError
+
+    for i in range(batch.num_rows):
+        payload = batch["payload"][i].as_py()
+        try:
+            yield decode_block(payload)
+        except (CodecError, ValueError, KeyError, IndexError) as e:
+            if on_error != "quarantine":
+                raise
+            bid = (
+                batch["block_id"][i].as_py()
+                if "block_id" in batch.column_names
+                else f"unknown-{i}"
+            )
+            if quarantine_dir:
+                import os
+
+                os.makedirs(quarantine_dir, exist_ok=True)
+                tmp = os.path.join(quarantine_dir, f".{bid}.tmp-{os.getpid()}")
+                with open(tmp, "wb") as f:
+                    f.write(payload or b"")
+                os.replace(tmp, os.path.join(quarantine_dir, f"{bid}.bin"))
+                with open(os.path.join(quarantine_dir, f"{bid}.error.txt"), "w") as f:
+                    f.write(f"{type(e).__name__}: {e}\n")
 
 
 class EncoderActor:

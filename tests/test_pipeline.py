@@ -200,3 +200,47 @@ def test_shared_state_encode_roundtrip(tmp_path):
     a = dec.sort_by("path")
     b = t.sort_by("path")
     assert a.equals(b.select(a.column_names))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_quarantine_skips_corrupt_block(tmp_path):
+    """A corrupt block must not poison the decode job: with
+    quarantine=True it is skipped and parked under _quarantine/."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pyppmd_ray.fixtures import generate_source_table
+    from pyppmd_ray.pipelines import run_decode_job, run_encode_job
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "out")
+    pq.write_table(generate_source_table(300, seed=3), src)
+    run_encode_job(src, out, target_block_bytes=64 << 10, concurrency=2)
+    # corrupt ONE block payload in place
+    bpath = sorted(glob.glob(os.path.join(out, "blocks", "*.parquet")))[0]
+    t = pq.read_table(bpath)
+    payloads = t["payload"].to_pylist()
+    assert len(payloads) >= 2, "need >=2 blocks for a meaningful skip test"
+    bad = bytearray(payloads[0])
+    bad[5:25] = b"\x00" * 20
+    payloads[0] = bytes(bad)
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     pa.array(payloads, type=pa.large_binary()))
+    pq.write_table(t, bpath, compression="none")
+
+    with pytest.raises(Exception):
+        pa.concat_tables(
+            run_decode_job(out).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    dec = pa.concat_tables(
+        run_decode_job(out, quarantine=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    assert 0 < dec.num_rows < 300
+    qfiles = glob.glob(os.path.join(out, "_quarantine", "*.bin"))
+    assert len(qfiles) == 1
+    assert os.path.exists(qfiles[0].replace(".bin", ".error.txt"))

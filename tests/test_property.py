@@ -89,3 +89,45 @@ def test_fieldt_roundtrip_structured(rows):
 
     data = "\n".join(",".join(r) for r in rows).encode()
     assert decode_blob(encode_fieldt(data)) == data
+
+
+@settings(max_examples=15, deadline=DEADLINE)
+@given(st.integers(0, 2**31), st.booleans(), st.booleans())
+def test_fieldt_typed_exceptions_roundtrip(seed, with_header, with_odd):
+    """The typed INT/DEC2 paths with verbatim exceptions (header rows,
+    -0.00, leading zeros, over-long digits) must round-trip exactly."""
+    import numpy as np
+
+    from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+    rng = np.random.default_rng(seed)
+    lines = []
+    if with_header:
+        lines.append("id,price,qty")  # regular delimiter count, non-numeric
+    for i in range(600):
+        lines.append(
+            f"{rng.integers(10**8, 10**9)},{rng.uniform(1, 700):.2f},{rng.integers(1, 10000)}"
+        )
+    if with_odd:
+        lines.insert(50, "-0.00,007,12345678901234567890123")
+    data = ("\n".join(lines) + "\n").encode()
+    blob = encode_fieldt(data)
+    assert decode_blob(blob) == data
+
+
+def test_fieldt_header_does_not_defeat_typed_paths():
+    """Round-1 regression: one header row (regular comma count) must not
+    knock the numeric columns off the typed paths — the typed encode is
+    ~2x smaller than generic entropy coding on this shape."""
+    import numpy as np
+
+    from pyppmd_ray.codecs.fieldt import encode_fieldt
+
+    rng = np.random.default_rng(0)
+    plain = [f"{rng.integers(10**8, 10**9)},{rng.uniform(1, 700):.2f}" for _ in range(5000)]
+    with_hdr = ("id,price\n" + "\n".join(plain) + "\n").encode()
+    without = ("\n".join(plain) + "\n").encode()
+    b_hdr, b_no = encode_fieldt(with_hdr), encode_fieldt(without)
+    assert decode_blob(b_hdr) == with_hdr
+    # header costs at most a few hundred bytes, not a mode change
+    assert len(b_hdr) <= len(b_no) + 400
