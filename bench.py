@@ -10,10 +10,11 @@ the north-rule source_files fixture (generated, cached in /tmp):
 - encode_documents: sf documents table;
 - dedup_minhash, ann_topk, lineitem_agg: training-data ops.
 
-`--scaling`: runs the same job in fresh processes at num_cpus=8 and 32 on
-identical input and reports throughput at both + scaling efficiency
-(T_8·8)/(T_32·32) — the sandbox protocol for the north rule's two-cluster
-criterion (BASELINE.md).
+`--scaling`: runs the core pipelines in fresh processes at num_cpus=2, 8
+and 32 on identical (4x) input; the N→4N criterion pair is 2→8 (below
+this VM's memory-bandwidth ceiling) with 8→32 reported alongside — the
+sandbox protocol for the north rule's two-cluster criterion (BASELINE.md
+has the Ray-free control measurements).
 """
 
 from __future__ import annotations
@@ -179,7 +180,7 @@ def _run_bench() -> dict:
     )
     qv = np.array(emb["embedding"].to_pylist()[:16], dtype=np.float64)
     t0 = time.monotonic()
-    brute_force_topk(rd.from_arrow(emb), qv, k=10, concurrency=NUM_CPUS // 2 or 1)
+    brute_force_topk(rd.from_arrow(emb), qv, k=10)
     queries["ann_topk"] = round(time.monotonic() - t0, 3)
 
     from ray.data.aggregate import Count, Sum

@@ -73,12 +73,17 @@ def brute_force_topk(
     Scores stay float64 end-to-end so ordering matches a double-precision
     SQL oracle; the returned table carries ints only (rank, ids)."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    cand = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": qref, "k": k},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
+    if concurrency:
+        cand = ds.map_batches(
+            BruteForceScorer,
+            fn_constructor_kwargs={"query_ref": qref, "k": k},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # instance = task mode: no actor-pool spin-up; the broadcast state
+        # is fetched per task via the same ray.put ref (tiny for queries)
+        cand = ds.map_batches(BruteForceScorer(query_ref=qref, k=k), batch_format="pyarrow")
     tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
     nq = int(np.asarray(queries).shape[0])
@@ -189,12 +194,17 @@ def ivf_topk(
     for qi in range(q.shape[0]):
         probe_mask[qi, order[qi, :nprobe]] = True
     ref = ray.put((cents, qnorm, probe_mask))
-    cand = ds.map_batches(
-        IvfScorer,
-        fn_constructor_kwargs={"ref": ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
+    if concurrency:
+        cand = ds.map_batches(
+            IvfScorer,
+            fn_constructor_kwargs={"ref": ref, "k": k},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # instance = task mode: no actor-pool spin-up; the broadcast state
+        # is fetched per task via the same ray.put ref (tiny for queries)
+        cand = ds.map_batches(IvfScorer(ref=ref, k=k), batch_format="pyarrow")
     tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
     qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
@@ -286,12 +296,17 @@ def lsh_topk(
     qn[qn == 0] = 1.0
     qnorm = q / qn[:, None]
     ref = ray.put((bucketer.planes, qnorm, probe_mask))
-    cand = ds.map_batches(
-        LshScorer,
-        fn_constructor_kwargs={"ref": ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
+    if concurrency:
+        cand = ds.map_batches(
+            LshScorer,
+            fn_constructor_kwargs={"ref": ref, "k": k},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # instance = task mode: no actor-pool spin-up; the broadcast state
+        # is fetched per task via the same ray.put ref (tiny for queries)
+        cand = ds.map_batches(LshScorer(ref=ref, k=k), batch_format="pyarrow")
     tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
     qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
