@@ -137,28 +137,31 @@ class MinHasher:
 
 
 def minhash_bands(batch: pa.Table, bands: int = 16, rows: int = 8) -> pa.Table:
-    """Explode signatures → (band_id, band_key, doc_id, sig) rows.
+    """Explode signatures → (band_id, band_key, doc_id, sig_bin) rows.
 
     band_key is the comma-joined slice itself (SQL-reproducible:
     array_to_string(sig[b*rows+1 : (b+1)*rows], ',')) — no extra hash
     layer; the groupby key is a short string either way. Signatures ride
-    along so bucket groups can verify pairs without a second join."""
+    along PACKED as little-endian u64 binary so bucket groups can verify
+    pairs without a second join (a list<int64> column costs ~2× in the
+    all-to-all shuffle)."""
     out_band, out_key, out_id, out_sig = [], [], [], []
     for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
         if sig is None:
             continue
+        packed = np.asarray(sig, dtype=np.int64).astype("<i8").tobytes()
         for b in range(bands):
             chunk = sig[b * rows : (b + 1) * rows]
             out_band.append(b)
             out_key.append(",".join(str(v) for v in chunk))
             out_id.append(doc_id)
-            out_sig.append(sig)
+            out_sig.append(packed)
     return pa.table(
         {
             "band_id": pa.array(out_band, type=pa.int32()),
             "band_key": pa.array(out_key, type=pa.string()),
             "doc_id": pa.array(out_id, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+            "sig_bin": pa.array(out_sig, type=pa.large_binary()),
         }
     )
 
@@ -180,7 +183,9 @@ def band_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     if n < 2:
         return _PAIR_SCHEMA.empty_table()
     ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-    sigs = np.asarray(group["sig"].to_pylist(), dtype=np.int64)
+    sigs = np.stack(
+        [np.frombuffer(b, dtype="<i8") for b in group["sig_bin"].to_pylist()]
+    )
     order = np.argsort(ids)
     ids, sigs = ids[order], sigs[order]
     out_a, out_b, out_j = [], [], []
