@@ -46,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("out_dir")
     e.add_argument("--columns", default=None)
     e.add_argument("--block-bytes", type=int, default=16 << 20)
+    e.add_argument("--unit-bytes", type=int, default=32 << 20)
     e.add_argument("--no-resume", action="store_true")
 
     d = sub.add_parser("decode")
@@ -110,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out_dir,
                 columns=cols,
                 target_block_bytes=args.block_bytes,
+                unit_bytes=args.unit_bytes,
                 resume=not args.no_resume,
             )
             print(json.dumps(out))

@@ -302,7 +302,7 @@ def plan_units(
     input_path: str | list[str],
     columns: list[str] | None = None,
     *,
-    unit_bytes: int = 64 << 20,
+    unit_bytes: int = 32 << 20,
 ) -> list[dict]:
     """Deterministic unit list: parquet row-group fragments COALESCED into
     units of ~``unit_bytes`` (uncompressed estimate).
@@ -431,7 +431,7 @@ def run_encode_job(
     hints: dict | None = None,
     concurrency=None,
     resume: bool = True,
-    unit_bytes: int = 64 << 20,
+    unit_bytes: int = 32 << 20,
 ) -> dict:
     """Resumable distributed encode. Returns a summary dict."""
     from ..codecs.select import validate_hints
@@ -587,7 +587,7 @@ class VerifyUnit:
 
 def run_verify_job(
     input_path: str | list[str], out_dir: str, *, columns: list[str] | None = None,
-    concurrency=None, unit_bytes: int = 64 << 20,
+    concurrency=None, unit_bytes: int = 32 << 20,
 ) -> dict:
     units = plan_units(input_path, columns, unit_bytes=unit_bytes)
     kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
