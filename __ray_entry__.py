@@ -139,6 +139,30 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
 
+def _q_events_windowed(sf_dir: str):
+    from pyppmd_ray.functions.relational import windowed_agg
+
+    return windowed_agg(_ds(sf_dir, "events"), width_s=3600)
+
+
+def _q_asof_events_orders(sf_dir: str):
+    from pyppmd_ray.functions.relational import asof_join
+
+    out = asof_join(
+        _ds(sf_dir, "events"),
+        _ds(sf_dir, "orders"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        right_id="o_orderkey",
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "o_orderkey"]), batch_format="pyarrow"
+    )
+
+
 def _q_ann_topk(sf_dir: str):
     from pyppmd_ray.functions.ann import brute_force_topk
 
@@ -386,9 +410,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count_bpe": _q_token_count_bpe,
-        # aggregates / pipeline ops
+        # aggregates / relational / pipeline ops
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
+        "events_windowed": _q_events_windowed,
+        "asof_events_orders": _q_asof_events_orders,
         # multimodal plumbing
         "multimodal_meta": _q_multimodal,
     }
@@ -753,6 +779,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_windowed": (
+            "SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents "
+            "FROM events GROUP BY event_type, window_start"
+        ),
+        "asof_events_orders": (
+            "SELECT e.event_id, "
+            "(SELECT o.o_orderkey FROM orders o "
+            " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
+            "FROM events e"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qi, embedding AS qe FROM embeddings "

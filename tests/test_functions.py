@@ -293,3 +293,61 @@ class TestNewOps:
         amax = np.array(out["amax"].to_pylist())[1:, None]
         deq = q[1:] * amax / 127.0
         assert np.abs(deq - emb[1:].astype(np.float64)).max() <= (amax / 127.0 / 2 + 1e-12).max()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_windowed_agg_counts(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import windowed_agg
+
+        ts = pa.array(
+            [1_700_000_000_000_000 + i * 1_800_000_000 for i in range(8)],  # every 30 min
+            type=pa.timestamp("us"),
+        )
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["a"] * 8),
+                "ts": ts,
+                "value": pa.array([1.0] * 8),
+            }
+        )
+        out = pa.concat_tables(
+            windowed_agg(rd.from_arrow(tbl)).iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by("window_start")
+        # 8 half-hourly events over 4 hours → every hour window has 2
+        assert out["n_events"].to_pylist() == [2, 2, 2, 2]
+        assert out["total_value_cents"].to_pylist() == [200] * 4
+        assert out["window_start"].type == pa.timestamp("us")
+
+    def test_asof_join_semantics(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import asof_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+                "t": pa.array([100, 5, 50, 9], type=pa.int64()),
+                "lid": pa.array([10, 11, 12, 13], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "t": pa.array([10, 100, 100, 60], type=pa.int64()),
+                "rid": pa.array([7, 8, 9, 5], type=pa.int64()),
+            }
+        )
+        out = pa.concat_tables(
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="k", left_ts="t", right_ts="t",
+                left_id="lid", right_id="rid",
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        got = dict(zip(out["left_id"].to_pylist(), out["right_id"].to_pylist()))
+        # lid 10 @t=100: ties at t=100 → max rid (9); lid 11 @t=5: nothing ≤ 5;
+        # lid 12 @t=50: only t=10? no — k=2 has t=60 > 50 → null; lid 13: no k=3 rows
+        assert got == {10: 9, 11: None, 12: None, 13: None}
