@@ -4,7 +4,7 @@ Commands (each owns its Ray session; `ray job submit` compatible):
 
   encode  INPUT OUT_DIR [--columns a,b] [--block-bytes N] [--no-resume]
           resumable distributed encode of a parquet table/dir
-  decode  OUT_DIR DEST   decode blocks back to parquet rows
+  decode  OUT_DIR DEST [--quarantine]  decode blocks back to parquet rows
   verify  INPUT OUT_DIR  per-row sha256 + column-hash verification
   ingest  SRC_DIR DEST   directory of source files → north-rule parquet
   stats   OUT_DIR        per-unit lineage/metrics summary from manifests
@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("decode")
     d.add_argument("out_dir")
     d.add_argument("dest")
+    d.add_argument("--quarantine", action="store_true",
+                   help="skip corrupt blocks; park them under out_dir/_quarantine")
 
     v = sub.add_parser("verify")
     v.add_argument("input")
@@ -118,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from pyppmd_ray.pipelines import run_decode_job
 
-            run_decode_job(args.out_dir).write_parquet(args.dest)
+            run_decode_job(args.out_dir, quarantine=args.quarantine).write_parquet(args.dest)
             print(json.dumps({"dest": args.dest, "status": "done"}))
         elif args.cmd == "verify":
             from pyppmd_ray.pipelines import run_verify_job
