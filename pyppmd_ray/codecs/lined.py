@@ -83,7 +83,15 @@ def encode_lined(data: bytes | memoryview | np.ndarray) -> bytes:
     width = 2 if n_distinct <= 0xFFFF else 4
     code_bytes = codes.astype("<u2" if width == 2 else "<u4").tobytes()
 
-    cb = _best_inner(code_bytes)
+    # fixed-width element stream: stride-aligned LZ candidates only
+    # (misaligned matches on u16/u32 ids are noise — smaller AND faster)
+    from .lz import encode_lz
+    from .rans import best_entropy_blob
+
+    cands = [best_entropy_blob(code_bytes)]
+    if len(code_bytes) >= 256:
+        cands.append(encode_lz(code_bytes, stride=width))
+    cb = min(cands, key=len)
     ob = encode_int_auto(voff)
     vb = _best_inner(vdata)
     payload = b"".join(

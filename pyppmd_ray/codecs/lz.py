@@ -156,21 +156,30 @@ _POS_BITS = 24  # max 16M positions per parse segment
 _POS_MASK = np.uint64((1 << _POS_BITS) - 1)
 
 
-def _prev_from_hash(h: np.ndarray) -> np.ndarray:
+def _prev_from_hash(h: np.ndarray, stride: int = 1) -> np.ndarray:
     """Nearest previous position with the same 40-bit hash.
 
     Single in-place sort of (hash << 24 | pos) — the position rides in the
     low bits, so equal-hash runs come out position-ascending and no argsort
     permutation is needed. Candidates are verified later by extension from
-    length 0 (hash collisions just yield a short/failed match)."""
+    length 0 (hash collisions just yield a short/failed match).
+
+    ``stride > 1``: only stride-aligned positions participate (for fixed-
+    width element streams like u16 line ids, misaligned matches are noise
+    — dropping them is both faster AND smaller; the wire format is
+    unchanged, offsets/lengths stay byte-granular)."""
     n = h.size
     if n <= 1:
         return np.full(max(n, 0), -1, dtype=_I64)
-    key = (h << np.uint64(_POS_BITS)) | np.arange(n, dtype=_U64)
+    cand = np.full(n, -1, dtype=_I64)
+    if stride > 1:
+        idx = np.arange(0, n, stride, dtype=_U64)
+        key = (h[::stride] << np.uint64(_POS_BITS)) | idx
+    else:
+        key = (h << np.uint64(_POS_BITS)) | np.arange(n, dtype=_U64)
     key.sort()
     pos = (key & _POS_MASK).astype(_I64)
     hh = key >> np.uint64(_POS_BITS)
-    cand = np.full(n, -1, dtype=_I64)
     same = hh[1:] == hh[:-1]
     cand[pos[1:][same]] = pos[:-1][same]
     return cand
@@ -240,7 +249,7 @@ def _extend_match(db: bytes, c: int, j: int, L: int, n: int) -> int:
 
 # ------------------------------------------------------------------ codec
 
-def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndarray]:
+def lz_parse(data: np.ndarray, stride: int = 1) -> tuple[list[int], list[int], list[int], np.ndarray]:
     """Greedy parse → (lit_lens, match_lens, offsets, literal bytes).
 
     Match lengths are computed LAZILY, only at chosen token positions
@@ -256,10 +265,10 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
     g8 = _grams_u64(data, 8)
     shift = np.uint64(64 - 40)
     h6 = ((g8 & np.uint64(0xFFFFFFFFFFFF)) * _GOLD) >> shift
-    c6 = _prev_from_hash(h6)
+    c6 = _prev_from_hash(h6, stride)
     if g8.size > 8:
         h16 = ((g8[:-8] * _GOLD) ^ (g8[8:] * np.uint64(0xC2B2AE3D27D4EB4F))) >> shift
-        c16 = _prev_from_hash(h16)
+        c16 = _prev_from_hash(h16, stride)
     else:
         c16 = np.full(0, -1, dtype=_I64)
     # NOTE: lengths are computed LAZILY per chosen token (extend-from-0).
@@ -340,7 +349,7 @@ def lz_parse(data: np.ndarray) -> tuple[list[int], list[int], list[int], np.ndar
     return lls, mls, ofs, lits
 
 
-def encode_lz(data: bytes | memoryview | np.ndarray) -> bytes:
+def encode_lz(data: bytes | memoryview | np.ndarray, stride: int = 1) -> bytes:
     arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(arr_in := data, np.ndarray) else data
     n = int(arr.size)
     if n < 32:
@@ -349,14 +358,14 @@ def encode_lz(data: bytes | memoryview | np.ndarray) -> bytes:
         return pack_blob("lz", {"n": n, "S": -1}, encode_raw(bytes(arr.tobytes())))
     if n >= 1 << _POS_BITS:
         # multi-segment: independent windows of <16M positions each
-        seg = (1 << _POS_BITS) - 1
+        seg = ((1 << _POS_BITS) - 1) // stride * stride
         parts = []
         for s in range(0, n, seg):
-            child = encode_lz(arr[s : s + seg])
+            child = encode_lz(arr[s : s + seg], stride=stride)
             parts.append(write_uvarint(len(child)) + child)
         return pack_blob("lz", {"n": n, "S": -2}, b"".join(parts))
 
-    lls, mls, ofs, lits = lz_parse(arr)
+    lls, mls, ofs, lits = lz_parse(arr, stride=stride)
     S = len(lls)
     ll = np.array(lls, dtype=_I64)
     ml = np.array(mls, dtype=_I64) - MIN_MATCH
