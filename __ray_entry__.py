@@ -108,7 +108,9 @@ def _q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def add_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        # floor(x+0.5), not round(): pc.round is half-to-even, SQL round()
+        # is half-away — floor(+0.5) is bit-identical on both sides
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
         return batch.append_column("value_cents", cents)
 
     return (
@@ -124,7 +126,9 @@ def _q_lineitem_agg(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64()
+        )
         return batch.append_column("price_cents", cents)
 
     return (
@@ -771,20 +775,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_by_type": (
             "SELECT event_type, count(*) AS n_events, "
-            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
             "FROM events GROUP BY event_type"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "sum(l_quantity) AS sum_qty, "
-            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "events_windowed": (
             "SELECT event_type, "
             "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start, "
             "count(*) AS n_events, "
-            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
             "FROM events GROUP BY event_type, window_start"
         ),
         "asof_events_orders": (

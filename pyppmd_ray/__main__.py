@@ -146,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
                 from pyppmd_ray.functions.dedup import minhash_lsh_pairs
 
                 out_ds = minhash_lsh_pairs(ds, threshold=args.threshold)
+            out_ds = out_ds.materialize()  # one execution: write + count
             out_ds.write_parquet(args.dest)
             print(json.dumps({"dest": args.dest, "rows": out_ds.count(), "method": args.method}))
         elif args.cmd == "analyze":
@@ -172,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                 op = op.strip()
                 if op not in stages:
                     raise SystemExit(f"unknown op {op!r}; choose from {sorted(stages)}")
-                out_ds = ds.map_batches(stages[op](), batch_format="pyarrow")
+                out_ds = ds.map_batches(stages[op](), batch_format="pyarrow").materialize()
                 dest = os.path.join(args.dest, op)
                 out_ds.write_parquet(dest)
                 counts[op] = out_ds.count()

@@ -21,7 +21,10 @@ import json
 from typing import Any, Callable
 
 MAGIC = b"PR"
-VERSION = 1
+# v2: u32/16-bit-renorm rANS streams (u16 words, L=2^16) + fieldt typed
+# exception framing. v1 archives raise a loud CodecError instead of
+# decoding silently wrong through the new rANS reader.
+VERSION = 2
 
 
 class CodecError(ValueError):
@@ -94,7 +97,10 @@ def unpack_blob(blob: bytes | memoryview) -> tuple[str, dict, memoryview]:
     if bytes(mv[:2]) != MAGIC:
         raise CodecError("bad magic")
     if mv[2] != VERSION:
-        raise CodecError(f"unsupported blob version {mv[2]}")
+        raise CodecError(
+            f"unsupported blob version {mv[2]} (this build reads v{VERSION}; "
+            "v1 archives must be decoded by a v1 build)"
+        )
     cid = mv[3]
     if cid not in _REGISTRY:
         raise CodecError(f"unknown codec id {cid}")

@@ -87,11 +87,12 @@ def brute_force_topk(
     tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
     nq = int(np.asarray(queries).shape[0])
+    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
+    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
     for qi in range(nq):
-        mask = np.asarray(tbl["q"].to_pylist()) == qi
-        ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)[mask]
-        sc = np.asarray(tbl["score"].to_pylist())[mask]
-        top_ids, _ = _topk_merge([(ids, sc)], k)
+        mask = qcol == qi
+        top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
         for r, vid in enumerate(top_ids):
             out_q.append(qi)
             out_rank.append(r)

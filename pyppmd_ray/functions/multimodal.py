@@ -56,6 +56,8 @@ def parse_png_header(data: bytes) -> dict:
     on malformed input — a poison-row decode failure at pipeline level."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
+    if len(data) < 33:  # sig + IHDR chunk; short unpacks would raise
+        raise ValueError("truncated PNG: no complete IHDR")  # struct.error otherwise
     (length,) = struct.unpack(">I", data[8:12])
     typ = data[12:16]
     if typ != b"IHDR" or length != 13:

@@ -45,7 +45,11 @@ def windowed_agg(
         # floor division (epochs here are positive; pc.divide truncates,
         # which equals floor for non-negative values)
         w = pc.multiply(pc.divide(epoch, width_us), width_us)
-        cents = pc.cast(pc.round(pc.multiply(batch[value_col], 100.0)), pa.int64())
+        # floor(x*100 + 0.5), NOT round(): pc.round is half-to-even while
+        # SQL round() is half-away — floor(+0.5) is bit-identical on both
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)), pa.int64()
+        )
         return batch.append_column(
             "window_start", pc.cast(w, batch[ts_col].type)
         ).append_column("value_cents", cents)
@@ -95,10 +99,16 @@ def asof_join(
 
     def tag(side: int, key: str, ts: str, idc: str):
         def fn(batch: pa.Table) -> pa.Table:
+            # normalize BOTH sides to microseconds before the int64 view —
+            # mixed units (e.g. timestamp[us] vs date32) would otherwise
+            # compare raw numbers across different scales
+            tcol = batch[ts]
+            if not pa.types.is_timestamp(tcol.type) or tcol.type.unit != "us":
+                tcol = pc.cast(tcol, pa.timestamp("us"))
             return pa.table(
                 {
                     "k": pc.cast(batch[key], pa.int64()),
-                    "t": pc.cast(batch[ts], pa.int64()),
+                    "t": pc.cast(tcol, pa.int64()),
                     "rid": pc.cast(batch[idc], pa.int64()),
                     "side": pa.array([side] * batch.num_rows, type=pa.int8()),
                 }

@@ -145,13 +145,17 @@ def encode_dataset(
     from ..codecs.select import validate_hints
 
     validate_hints(hints)
-    if partition_by:
-        ds = ds.sort(list(partition_by))
     if hints is None and plan == "dataset":
+        # plan BEFORE the partition sort — hints don't depend on row
+        # order, and sampling the sorted dataset would execute the
+        # all-to-all sort once just to read 1024 rows (then again for
+        # the real encode)
         hints, sampled_rows = plan_dataset_hints(
             ds, columns, target_block_bytes=target_block_bytes
         )
         batch_rows = batch_rows or sampled_rows
+    if partition_by:
+        ds = ds.sort(list(partition_by))
     fn_kwargs = {
         "target_block_bytes": target_block_bytes,
         "hints": hints,
@@ -433,11 +437,37 @@ def run_encode_job(
     resume: bool = True,
     unit_bytes: int = 32 << 20,
 ) -> dict:
-    """Resumable distributed encode. Returns a summary dict."""
+    """Resumable distributed encode. Returns a summary dict.
+
+    A ``_job.json`` records the plan parameters; resuming with DIFFERENT
+    parameters (e.g. another unit_bytes) would re-plan to all-new unit ids
+    — completed_units() would match nothing and the stale block files
+    would duplicate every row on decode — so a mismatch raises instead."""
+    from ..codecs.base import CodecError
     from ..codecs.select import validate_hints
 
     validate_hints(hints)
     os.makedirs(out_dir, exist_ok=True)
+    job_params = {
+        "unit_bytes": int(unit_bytes),
+        "target_block_bytes": int(target_block_bytes),
+        "columns": columns,
+        "blob_version": 2,
+    }
+    job_path = os.path.join(out_dir, "_job.json")
+    if os.path.exists(job_path):
+        with open(job_path) as f:
+            prev = json.load(f)
+        if resume and prev != job_params:
+            raise CodecError(
+                f"out_dir {out_dir} was written with different job parameters "
+                f"({prev} != {job_params}); resume would duplicate rows — "
+                "use a fresh out_dir or pass resume=False after clearing it"
+            )
+    tmp = job_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(job_params, f)
+    os.replace(tmp, job_path)
     units = plan_units(input_path, columns, unit_bytes=unit_bytes)
     done = completed_units(out_dir) if resume else set()
     todo = [u for u in units if u["unit_id"] not in done]

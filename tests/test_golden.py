@@ -18,11 +18,13 @@ from pyppmd_ray.codecs.rans import encode_rans0
 # the reference's golden sentence (tests/test_ppmd7.py:10)
 SENTENCE = b"This file is located in a folder.This file is located in the root."
 
+# re-pinned at blob VERSION 2 (u16-renorm rANS round; int-codec payloads
+# unchanged apart from the version byte)
 GOLDEN = {
-    "for": b'PR\x01\x04\x1b{"n":5,"ref":1,"s":1,"w":3}\xc2@',
-    "delta": b'PR\x01\x05\'{"first":0,"m":"c","n":10,"s":1,"v":10}',
-    "rle": b'PR\x01\x06\r{"n":7,"s":1}"PR\x01\x04\x1c{"n":2,"ref":-2,"s":1,"w":4}\tPR\x01\x04\x1b{"n":2,"ref":3,"s":1,"w":1}\x01',
-    "const": b'PR\x01\x02\x14{"n":9,"s":1,"v":42}',
+    "for": b'PR\x02\x04\x1b{"n":5,"ref":1,"s":1,"w":3}\xc2@',
+    "delta": b'PR\x02\x05\'{"first":0,"m":"c","n":10,"s":1,"v":10}',
+    "rle": b'PR\x02\x06\r{"n":7,"s":1}"PR\x02\x04\x1c{"n":2,"ref":-2,"s":1,"w":4}\tPR\x02\x04\x1b{"n":2,"ref":3,"s":1,"w":1}\x01',
+    "const": b'PR\x02\x02\x14{"n":9,"s":1,"v":42}',
 }
 
 
@@ -43,7 +45,7 @@ def test_byte_codec_golden_shape():
         a = enc(SENTENCE)
         b = enc(SENTENCE)
         assert a == b, "non-deterministic encode"
-        assert a[:2] == b"PR" and a[2] == 1
+        assert a[:2] == b"PR" and a[2] == 2
         assert decode_blob(a) == SENTENCE
 
 
@@ -60,3 +62,14 @@ def test_decode_golden_blobs():
     np.testing.assert_array_equal(
         decode_blob(GOLDEN["const"]), np.full(9, 42, dtype=np.int64)
     )
+
+
+def test_v1_blob_rejected_loudly():
+    """v1 archives (byte-renorm rANS) must raise, not decode garbage."""
+    import pytest
+
+    from pyppmd_ray.codecs.base import CodecError
+
+    v1_blob = b'PR\x01\x02\x14{"n":9,"s":1,"v":42}'
+    with pytest.raises(CodecError, match="version"):
+        decode_blob(v1_blob)

@@ -244,3 +244,22 @@ def test_decode_quarantine_skips_corrupt_block(tmp_path):
     qfiles = glob.glob(os.path.join(out, "_quarantine", "*.bin"))
     assert len(qfiles) == 1
     assert os.path.exists(qfiles[0].replace(".bin", ".error.txt"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_different_params_refuses(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyppmd_ray.codecs.base import CodecError
+    from pyppmd_ray.fixtures import generate_source_table
+    from pyppmd_ray.pipelines import run_encode_job
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "out")
+    pq.write_table(generate_source_table(200, seed=5), src)
+    run_encode_job(src, out, unit_bytes=32 << 20, concurrency=2)
+    # same params resume: all skipped, no error
+    s = run_encode_job(src, out, unit_bytes=32 << 20, concurrency=2)
+    assert s["units_skipped"] == s["units_total"]
+    with pytest.raises(CodecError):
+        run_encode_job(src, out, unit_bytes=64 << 20, concurrency=2)
