@@ -140,17 +140,6 @@ def _grams_u64(data: np.ndarray, k: int) -> np.ndarray:
     return g
 
 
-def _prev_occurrence(g: np.ndarray) -> np.ndarray:
-    """cand[i] = nearest j < i with g[j] == g[i], else -1 (exact grams)."""
-    cand = np.full(g.size, -1, dtype=_I64)
-    if g.size < 2:
-        return cand
-    order = np.argsort(g, kind="stable")
-    same = g[order[1:]] == g[order[:-1]]
-    cand[order[1:][same]] = order[:-1][same]
-    return cand
-
-
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _POS_BITS = 24  # max 16M positions per parse segment
 _POS_MASK = np.uint64((1 << _POS_BITS) - 1)
@@ -183,37 +172,6 @@ def _prev_from_hash(h: np.ndarray, stride: int = 1) -> np.ndarray:
     same = hh[1:] == hh[:-1]
     cand[pos[1:][same]] = pos[:-1][same]
     return cand
-
-
-def _prev_occurrence_hashed(data: np.ndarray, k: int) -> np.ndarray:
-    g = _grams_u64(data, k)
-    h = (g * _GOLD) >> np.uint64(64 - 40)
-    return _prev_from_hash(h)
-
-
-def _match_lengths(data: np.ndarray, cand: np.ndarray, k: int, cap: int) -> np.ndarray:
-    """mlen[i] = match length (>= k where cand >= 0), extended up to k+cap.
-
-    Shrinking index arrays: each pass only touches still-matching
-    positions, so total work ≈ sum of match lengths, not cap × n."""
-    ml = np.zeros(cand.size, dtype=_I64)
-    valid = cand >= 0
-    ml[valid] = k
-    ip = np.flatnonzero(valid)
-    c = cand[ip]
-    n = data.size
-    for j in range(k, k + cap):
-        keep = ip + j < n
-        if not keep.all():
-            ip = ip[keep]
-            c = c[keep]
-        if ip.size == 0:
-            break
-        eq = data[ip + j] == data[c + j]
-        ml[ip[eq]] += 1
-        ip = ip[eq]
-        c = c[eq]
-    return ml
 
 
 def _mismatch_at(a: bytes, b: bytes) -> int:

@@ -74,9 +74,6 @@ def windowed_agg(
     return agg.map_batches(fix_ts, batch_format="pyarrow")
 
 
-_ASOF_SCHEMA_NOTE = "asof output: (left id, matched right id or null)"
-
-
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

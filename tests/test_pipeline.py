@@ -263,3 +263,20 @@ def test_resume_with_different_params_refuses(tmp_path):
     assert s["units_skipped"] == s["units_total"]
     with pytest.raises(CodecError):
         run_encode_job(src, out, unit_bytes=64 << 20, concurrency=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encode_dataset_plan_block_roundtrip():
+    """plan='block' (per-batch selector, heterogeneous-input mode)."""
+    import ray.data as rd
+
+    from pyppmd_ray.fixtures import generate_source_table
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset
+
+    t = generate_source_table(500, seed=11)
+    dec = pa.concat_tables(
+        decode_dataset(encode_dataset(rd.from_arrow(t), plan="block")).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    assert dec.sort_by("path").equals(t.sort_by("path").select(dec.column_names))
