@@ -77,9 +77,7 @@ def _q_dedup_exact(sf_dir: str):
 def _q_token_count(sf_dir: str):
     from pyppmd_ray.functions.text import TokenCounter
 
-    return _ds(sf_dir, "documents").map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=_conc()
-    )
+    return _ds(sf_dir, "documents").map_batches(TokenCounter(), batch_format="pyarrow")
 
 
 def _q_doc_sha(sf_dir: str):
@@ -179,7 +177,7 @@ def _q_ann_topk(sf_dir: str):
     queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
     import ray.data as rd
 
-    out = brute_force_topk(rd.from_arrow(tbl), queries, k=10, concurrency=_conc())
+    out = brute_force_topk(rd.from_arrow(tbl), queries, k=10)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {
@@ -193,14 +191,14 @@ def _q_ann_topk(sf_dir: str):
 def _q_embedding_neardup(sf_dir: str):
     from pyppmd_ray.functions.dedup import embedding_neardup_ds
 
-    return embedding_neardup_ds(_ds(sf_dir, "embeddings"), threshold=0.35, concurrency=_conc())
+    return embedding_neardup_ds(_ds(sf_dir, "embeddings"), threshold=0.35)
 
 
 def _q_embedding_neardup_lsh(sf_dir: str):
     from pyppmd_ray.functions.dedup import embedding_neardup_lsh
 
     out = embedding_neardup_lsh(
-        _ds(sf_dir, "embeddings"), threshold=0.35, n_bits=6, concurrency=_conc()
+        _ds(sf_dir, "embeddings"), threshold=0.35, n_bits=6
     )
     return out.select_columns(["vec_id_a", "vec_id_b"])
 
@@ -214,33 +212,25 @@ def _q_minhash_pairs(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from pyppmd_ray.functions.dedup import SimHasher
 
-    return _ds(sf_dir, "documents").map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=_conc()
-    )
+    return _ds(sf_dir, "documents").map_batches(SimHasher(), batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):
     from pyppmd_ray.functions.text import LangId
 
-    return _ds(sf_dir, "documents").map_batches(
-        LangId, batch_format="pyarrow", concurrency=_conc()
-    )
+    return _ds(sf_dir, "documents").map_batches(LangId(), batch_format="pyarrow")
 
 
 def _q_quality(sf_dir: str):
     from pyppmd_ray.functions.text import QualityScorer
 
-    return _ds(sf_dir, "documents").map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=_conc()
-    )
+    return _ds(sf_dir, "documents").map_batches(QualityScorer(), batch_format="pyarrow")
 
 
 def _q_winnow(sf_dir: str):
     from pyppmd_ray.functions.text import WinnowFingerprinter
 
-    return _ds(sf_dir, "documents").map_batches(
-        WinnowFingerprinter, batch_format="pyarrow", concurrency=_conc()
-    )
+    return _ds(sf_dir, "documents").map_batches(WinnowFingerprinter(), batch_format="pyarrow")
 
 
 def _q_lsh_ann(sf_dir: str):
@@ -255,7 +245,7 @@ def _q_lsh_ann(sf_dir: str):
     queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
     import ray.data as rd
 
-    out = lsh_topk(rd.from_arrow(tbl), queries, k=10, concurrency=_conc())
+    out = lsh_topk(rd.from_arrow(tbl), queries, k=10)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {
@@ -294,8 +284,7 @@ def _q_ivf_ann(sf_dir: str):
     queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
     import ray.data as rd
 
-    out = ivf_topk(rd.from_arrow(tbl), queries, k=10, n_centroids=16, nprobe=4,
-                   concurrency=_conc())
+    out = ivf_topk(rd.from_arrow(tbl), queries, k=10, n_centroids=16, nprobe=4)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {
@@ -313,10 +302,9 @@ def _q_multimodal(sf_dir: str):
         _ds(sf_dir, "documents")
         .map_batches(to_payload_table, batch_format="pyarrow")
         .map_batches(
-            MediaDecoder,
+            MediaDecoder(),
             batch_format="pyarrow",
             batch_size=256,  # small batches: binary payloads are byte-heavy
-            concurrency=_conc(),
         )
     )
 

@@ -366,12 +366,14 @@ def embedding_neardup_ds(
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     ref = ray.put((ids, m / norms[:, None]))
-    return ds.map_batches(
-        _NeardupScorer,
-        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
+    if concurrency:
+        return ds.map_batches(
+            _NeardupScorer,
+            fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    return ds.map_batches(_NeardupScorer(ref, threshold), batch_format="pyarrow")
 
 
 def embedding_neardup_lsh(
@@ -386,12 +388,17 @@ def embedding_neardup_lsh(
 
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
-    bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=concurrency or 2,
-    )
+    if concurrency:
+        bucketed = ds.map_batches(
+            LshBucketer,
+            fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        bucketed = ds.map_batches(
+            LshBucketer(dim=dim, n_bits=n_bits, seed=seed), batch_format="pyarrow"
+        )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         pairs = embedding_neardup_pairs(group, threshold=threshold)
