@@ -141,6 +141,12 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
 
+def _q_prepare_corpus(sf_dir: str):
+    from pyppmd_ray.functions.pipeline import prepare_corpus
+
+    return prepare_corpus(_ds(sf_dir, "documents"), min_tokens=20, min_alpha_ratio=0.5)
+
+
 def _q_events_windowed(sf_dir: str):
     from pyppmd_ray.functions.relational import windowed_agg
 
@@ -407,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "events_windowed": _q_events_windowed,
         "asof_events_orders": _q_asof_events_orders,
+        "prepare_corpus": _q_prepare_corpus,
         # multimodal plumbing
         "multimodal_meta": _q_multimodal,
     }
@@ -771,6 +778,21 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "prepare_corpus": (
+            # dedup (min-id per text) → quality gate, mirroring the engine's
+            # QualityScorer expressions exactly (see _quality_sql)
+            "WITH dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), "
+            "q AS ( "
+            "  SELECT d.doc_id, length(text) AS n, "
+            "    regexp_extract_all(trim(text, ' \t\n\r'), '[^ \t\n\r]+') AS toks, "
+            "    text "
+            "  FROM documents JOIN dedup d USING (doc_id)) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+            "  CAST(len(toks) AS BIGINT) AS n_tokens "
+            "FROM q WHERE len(toks) >= 20 AND "
+            "  (n > 0 AND CAST(length(regexp_replace(text, "
+            "'[^A-Za-zÀ-ÖØ-öø-ÿ一-鿿]', '', 'g')) AS DOUBLE) / n > 0.5)"
         ),
         "events_windowed": (
             "SELECT event_type, "

@@ -1,0 +1,48 @@
+"""Composed training-data curation pipeline.
+
+The canonical chain a 100 TB corpus goes through before tokenization:
+exact dedup → quality gate → per-doc stats. Each stage is one of the
+engine's existing Ray-Data-native operators; this module just wires them
+into a single streaming Dataset (no driver materialization anywhere).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def prepare_corpus(
+    ds: rd.Dataset,
+    *,
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+) -> rd.Dataset:
+    """documents → deduplicated, quality-gated (doc_id, n_chars, n_tokens).
+
+    Stages: exact dedup (groupby(sha).map_groups min-id) → QualityScorer
+    metrics per batch → vectorized filter on (n_tokens, alpha_ratio).
+    Thresholds use >=/<‐free comparisons identical to the SQL oracle."""
+    from .dedup import dedup_exact
+    from .text import QualityScorer
+
+    deduped = dedup_exact(ds)
+    scorer = QualityScorer()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = scorer(batch)
+        keep = [
+            (nt >= min_tokens) and (ar > min_alpha_ratio)
+            for nt, ar in zip(m["n_tokens"].to_pylist(), m["alpha_ratio"].to_pylist())
+        ]
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": m["doc_id"].filter(mask),
+                "n_chars": m["n_chars"].filter(mask),
+                "n_tokens": m["n_tokens"].filter(mask),
+            }
+        )
+
+    return deduped.map_batches(gate, batch_format="pyarrow")
