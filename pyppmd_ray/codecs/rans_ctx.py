@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import CodecError, pack_blob, register
-from .rans import M, PROB_BITS, RANS_L, cap_full_freq, normalize_freqs
+from .rans import M, PROB_BITS, RANS_L, _RENORM, cap_full_freq, normalize_freqs
 
 _U32 = np.uint32
 _U64 = np.uint64
@@ -83,10 +83,12 @@ def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
     states = np.full(N, RANS_L, dtype=_U32)
     chunks: list[np.ndarray] = []
     lanes = np.arange(N)
-    shift = _U32(16)
+    # derived from rans.py's renorm width so the two wire formats can
+    # never silently desynchronize
+    shift = _U32(_RENORM)
     pbits = _U32(PROB_BITS)
-    xmax_shift = _U32(20)  # f << 20 == f * ((L >> PROB_BITS) << 16)
-    w_mask = _U32(0xFFFF)
+    xmax_shift = _U32(_RENORM + 4)  # f << 20 == f * ((L >> PROB_BITS) << 16)
+    w_mask = _U32((1 << _RENORM) - 1)
     for t in range(T - 1, -1, -1):
         idx = lanes * T + t
         active = idx < n
@@ -153,7 +155,7 @@ def _decode_rans1(meta: dict, payload: memoryview) -> bytes:
     x = states.astype(_U32).copy()
     ptr = 0
     mask = _U32(M - 1)
-    shift = _U32(16)
+    shift = _U32(_RENORM)
     pbits = _U32(PROB_BITS)
     L = _U32(RANS_L)
     lanes = np.arange(N)

@@ -4,9 +4,20 @@
   numpy matmul against a broadcast (ray.put) query matrix. Scale shape:
   the query side is small and broadcast ONCE; each batch computes local
   top-k; the driver merges k×num_blocks candidates (tiny).
-- :class:`LshIndexActor` / :func:`lsh_topk` — the scale path: random
+- :class:`LshBucketer` / :func:`lsh_topk` — the scale path: random
   hyperplane LSH buckets (sign bits) restrict candidates to matching /
   near buckets before exact re-scoring.
+- :func:`ivf_topk` — inverted-file shape: coarse quantizer partitions the
+  corpus into centroid lists, queries probe the ``nprobe`` nearest lists.
+  Optional ``train=True`` runs a distributed k-means refinement
+  (:func:`train_centroids`) — per-batch partial sums, driver reduces only
+  a (C, dim) matrix per round.
+
+Broadcast discipline (all scorer stages): the class instance pickles ONLY
+the ObjectRef; the state is fetched lazily on first batch in the worker
+(cached per process). This makes task mode (`map_batches(instance)`) a
+true object-store broadcast — constructing the instance on the driver does
+NOT bake the state into the serialized UDF.
 """
 
 from __future__ import annotations
@@ -16,6 +27,30 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+
+from .embeddings import embedding_matrix, int64_column
+
+
+class _LazyBroadcast:
+    """Base: hold an ObjectRef (or a plain value for tests); resolve once
+    per worker process on first use. ``__getstate__`` drops any resolved
+    state so pickling the instance ships only the ref."""
+
+    def __init__(self, ref):
+        self._ref = ref
+        self._state = None
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_state"] = None
+        return d
+
+    @property
+    def state(self):
+        if self._state is None:
+            r = self._ref
+            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        return self._state
 
 
 def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -27,67 +62,14 @@ def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int) -> tuple[np.
     return ids[order], sc[order]
 
 
-class BruteForceScorer:
-    """Actor: holds the normalized query matrix (fetched from the object
-    store once per worker in __init__)."""
-
-    def __init__(self, query_ref, k: int):
-        q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
-        q = np.asarray(q, dtype=np.float64)
-        qn = np.linalg.norm(q, axis=1)
-        qn[qn == 0] = 1.0
-        self.q = q / qn[:, None]
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        cos = (m / norms[:, None]) @ self.q.T  # (n, nq)
-        out_q, out_id, out_s = [], [], []
-        k = min(self.k, ids.size)
-        for qi in range(self.q.shape[0]):
-            s = cos[:, qi]
-            part = np.argpartition(-s, k - 1)[:k] if k < ids.size else np.arange(ids.size)
-            for j in part:
-                out_q.append(qi)
-                out_id.append(int(ids[j]))
-                out_s.append(float(s[j]))
-        return pa.table(
-            {
-                "q": pa.array(out_q, type=pa.int32()),
-                "vec_id": pa.array(out_id, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
-            }
-        )
-
-
-def brute_force_topk(
-    ds: rd.Dataset, queries: np.ndarray, k: int = 10, concurrency=None
-) -> pa.Table:
-    """Exact cosine top-k per query row → (q, rank, vec_id).
-
-    Scores stay float64 end-to-end so ordering matches a double-precision
-    SQL oracle; the returned table carries ints only (rank, ids)."""
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    if concurrency:
-        cand = ds.map_batches(
-            BruteForceScorer,
-            fn_constructor_kwargs={"query_ref": qref, "k": k},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
-    else:
-        # instance = task mode: no actor-pool spin-up; the broadcast state
-        # is fetched per task via the same ray.put ref (tiny for queries)
-        cand = ds.map_batches(BruteForceScorer(query_ref=qref, k=k), batch_format="pyarrow")
+def _rank_table(cand: rd.Dataset, nq: int, k: int) -> pa.Table:
+    """Driver-side merge of per-batch candidates → (q, rank, vec_id).
+    The candidate set is k×num_blocks rows — tiny by construction."""
     tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
     out_q, out_rank, out_id = [], [], []
-    nq = int(np.asarray(queries).shape[0])
-    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
-    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
+    qcol = int64_column(tbl["q"])
+    icol = int64_column(tbl["vec_id"])
+    scol = tbl["score"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
     for qi in range(nq):
         mask = qcol == qi
         top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
@@ -104,6 +86,81 @@ def brute_force_topk(
     )
 
 
+def _candidate_table(ids: np.ndarray, cos: np.ndarray, k: int) -> pa.Table:
+    """(n, nq) score matrix → per-query local top-k candidate rows,
+    vectorized (single argpartition, no per-query Python loop)."""
+    n, nq = cos.shape
+    kk = min(k, n)
+    if kk <= 0:
+        return pa.table(
+            {
+                "q": pa.array([], type=pa.int32()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    if kk < n:
+        part = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, nq)
+    else:
+        part = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+    qidx = np.broadcast_to(np.arange(nq)[None, :], part.shape)
+    return pa.table(
+        {
+            "q": pa.array(qidx.ravel(order="F").astype(np.int32), type=pa.int32()),
+            "vec_id": pa.array(ids[part.ravel(order="F")], type=pa.int64()),
+            "score": pa.array(cos[part.ravel(order="F"), qidx.ravel(order="F")], type=pa.float64()),
+        }
+    )
+
+
+class BruteForceScorer(_LazyBroadcast):
+    """Scorer over a broadcast normalized query matrix. State = raw query
+    matrix ref; normalization happens at resolve time in the worker."""
+
+    def __init__(self, query_ref, k: int):
+        super().__init__(query_ref)
+        self.k = k
+
+    def _qnorm(self) -> np.ndarray:
+        q = np.asarray(self.state, dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        return q / qn[:, None]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self._qnorm()
+        ids = int64_column(batch["vec_id"])
+        m = embedding_matrix(batch["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m / norms[:, None]) @ q.T  # (n, nq)
+        return _candidate_table(ids, cos, self.k)
+
+
+def brute_force_topk(
+    ds: rd.Dataset, queries: np.ndarray, k: int = 10, concurrency=None
+) -> pa.Table:
+    """Exact cosine top-k per query row → (q, rank, vec_id).
+
+    Scores stay float64 end-to-end so ordering matches a double-precision
+    SQL oracle; the returned table carries ints only (rank, ids)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qref = ray.put(q)
+    scorer = BruteForceScorer(query_ref=qref, k=k)
+    if concurrency:
+        cand = ds.map_batches(
+            BruteForceScorer,
+            fn_constructor_kwargs={"query_ref": qref, "k": k},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    else:
+        # task mode: the instance pickles only the ObjectRef (lazy fetch
+        # per worker) — a true object-store broadcast
+        cand = ds.map_batches(scorer, batch_format="pyarrow")
+    return _rank_table(cand, int(q.shape[0]), k)
+
+
 class LshBucketer:
     """Random-hyperplane LSH: bucket = sign-bit prefix of projections.
     Deterministic planes from a fixed seed; same planes on query side."""
@@ -117,38 +174,115 @@ class LshBucketer:
         return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = embedding_matrix(batch["embedding"])
         return batch.append_column(
             "bucket", pa.array(self.bucket_of(m).astype(np.int64), type=pa.int64())
         )
 
 
-class IvfScorer:
-    """Actor: holds normalized centroids + queries + per-query probe sets
-    (one ray.get in __init__). Each batch assigns its rows to their
-    nearest centroid locally and scores only rows whose list is probed."""
+# ----------------------------------------------------------------- IVF
+
+
+def _seed_centroid_table(ds: rd.Dataset, n_centroids: int) -> pa.Table:
+    """The ``n_centroids`` lowest-vec_id rows WITHOUT a global sort: each
+    block emits its local bottom-k by id (map_batches), the driver merges
+    k×num_blocks rows (tiny) — zero shuffle, same rows as
+    sort("vec_id").limit(k)."""
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = int64_column(batch["vec_id"])
+        kk = min(n_centroids, ids.size)
+        if kk == 0:
+            return batch
+        part = np.argpartition(ids, kk - 1)[:kk] if kk < ids.size else np.arange(ids.size)
+        return batch.take(pa.array(part))
+
+    cand = ds.map_batches(local_bottomk, batch_format="pyarrow")
+    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ids = int64_column(tbl["vec_id"])
+    order = np.argsort(ids, kind="stable")[:n_centroids]
+    return tbl.take(pa.array(order))
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+class _KmeansPartial(_LazyBroadcast):
+    """Per-batch k-means partial sums: assign rows to the nearest
+    (broadcast) centroid by cosine, emit C rows of (cid, count, vec_sum).
+    The shuffle volume is C×dim per batch — independent of corpus size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cents = self.state  # (C, dim) L2-normalized
+        m = embedding_matrix(batch["embedding"])
+        mn = _normalize_rows(m)
+        assign = np.argmax(mn @ cents.T, axis=1)
+        C, d = cents.shape
+        counts = np.bincount(assign, minlength=C).astype(np.int64)
+        sums = np.zeros((C, d), dtype=np.float64)
+        np.add.at(sums, assign, mn)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(C), type=pa.int64()),
+                "count": pa.array(counts, type=pa.int64()),
+                "vec_sum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def train_centroids(
+    ds: rd.Dataset, n_centroids: int = 16, n_iters: int = 3
+) -> np.ndarray:
+    """Distributed k-means (cosine / spherical): seed from the bottom-k
+    ids (deterministic), then ``n_iters`` rounds of map_batches partial
+    sums + a driver-side (C, dim) reduce. The corpus never concentrates
+    anywhere; the driver holds only C×dim floats per round."""
+    seed_tbl = _seed_centroid_table(ds, n_centroids)
+    cents = _normalize_rows(embedding_matrix(seed_tbl["embedding"]))
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+        parts = ds.map_batches(_KmeansPartial(ref), batch_format="pyarrow")
+        tbl = pa.concat_tables(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+        cids = int64_column(tbl["cid"])
+        counts = int64_column(tbl["count"])
+        sums = embedding_matrix(tbl["vec_sum"])
+        C, d = cents.shape
+        tot = np.zeros(C, dtype=np.int64)
+        acc = np.zeros((C, d), dtype=np.float64)
+        np.add.at(tot, cids, counts)
+        np.add.at(acc, cids, sums)
+        nonempty = tot > 0
+        new = cents.copy()
+        new[nonempty] = _normalize_rows(acc[nonempty] / tot[nonempty, None])
+        cents = new
+    return cents
+
+
+class IvfScorer(_LazyBroadcast):
+    """Scorer over broadcast (centroids, queries, probe masks). Each batch
+    assigns its rows to their nearest centroid locally and scores only
+    rows whose list is probed."""
 
     def __init__(self, ref, k: int):
-        cents, qnorm, probe_mask = ray.get(ref)
-        self.cents = cents          # (C, dim), L2-normalized
-        self.qnorm = qnorm          # (nq, dim), L2-normalized
-        self.probe_mask = probe_mask  # (nq, C) bool
+        super().__init__(ref)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
+        cents, qnorm, probe_mask = self.state
+        ids = int64_column(batch["vec_id"])
+        m = embedding_matrix(batch["embedding"])
+        mn = _normalize_rows(m)
         # nearest centroid by cosine; argmax ties → lowest centroid index
-        assign = np.argmax(mn @ self.cents.T, axis=1)
+        assign = np.argmax(mn @ cents.T, axis=1)
         out_q, out_id, out_s = [], [], []
-        for qi in range(self.qnorm.shape[0]):
-            mask = self.probe_mask[qi][assign]
+        for qi in range(qnorm.shape[0]):
+            mask = probe_mask[qi][assign]
             if not mask.any():
                 continue
-            s = mn[mask] @ self.qnorm[qi]
+            s = mn[mask] @ qnorm[qi]
             cids = ids[mask]
             top = np.lexsort((cids, -s))[: self.k]
             out_q.extend([qi] * len(top))
@@ -165,27 +299,25 @@ class IvfScorer:
 
 def ivf_topk(
     ds: rd.Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-    nprobe: int = 4, concurrency=None,
+    nprobe: int = 4, concurrency=None, train: bool = False, train_iters: int = 3,
 ) -> pa.Table:
     """IVF-style ANN: a coarse quantizer partitions the corpus into
     centroid lists; queries probe only the ``nprobe`` nearest lists and
     exact-score inside — the inverted-file shape (centroid id is the
-    partition key at scale). Centroids here are the ``n_centroids``
-    lowest-vec_id vectors, L2-normalized (deterministic seeding instead of
-    k-means, so the partition assignment is SQL-reproducible; classic IVF
-    trains centroids offline — the Ray dataflow is identical either way).
+    partition key at scale). Default centroids are the ``n_centroids``
+    lowest-vec_id vectors, L2-normalized, found via per-block bottom-k +
+    driver merge — NO global sort (deterministic seeding keeps the
+    partition assignment SQL-reproducible). ``train=True`` refines them
+    with :func:`train_centroids` (distributed spherical k-means) for
+    better recall; the seeded variant remains the oracle path.
     Recall < 1 by design. Returns (q, rank, vec_id)."""
     q = np.asarray(queries, dtype=np.float64)
-    seed_tbl = pa.concat_tables(
-        ds.sort("vec_id").limit(n_centroids).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    cents = np.array(seed_tbl["embedding"].to_pylist(), dtype=np.float64)
-    cn = np.linalg.norm(cents, axis=1)
-    cn[cn == 0] = 1.0
-    cents = cents / cn[:, None]
-    qn = np.linalg.norm(q, axis=1)
-    qn[qn == 0] = 1.0
-    qnorm = q / qn[:, None]
+    if train:
+        cents = train_centroids(ds, n_centroids, n_iters=train_iters)
+    else:
+        seed_tbl = _seed_centroid_table(ds, n_centroids)
+        cents = _normalize_rows(embedding_matrix(seed_tbl["embedding"]))
+    qnorm = _normalize_rows(q)
     # probe sets: top-nprobe centroids per query (ties → lowest index)
     qc = qnorm @ cents.T  # (nq, C)
     order = np.lexsort((np.broadcast_to(np.arange(cents.shape[0]), qc.shape), -qc), axis=1)
@@ -201,58 +333,34 @@ def ivf_topk(
             concurrency=concurrency,
         )
     else:
-        # instance = task mode: no actor-pool spin-up; the broadcast state
-        # is fetched per task via the same ray.put ref (tiny for queries)
+        # task mode: instance pickles only the ref (lazy per-worker fetch)
         cand = ds.map_batches(IvfScorer(ref=ref, k=k), batch_format="pyarrow")
-    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
-    out_q, out_rank, out_id = [], [], []
-    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
-    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
-    for qi in range(q.shape[0]):
-        mask = qcol == qi
-        top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
-        for r, vid in enumerate(top_ids):
-            out_q.append(qi)
-            out_rank.append(r)
-            out_id.append(int(vid))
-    return pa.table(
-        {
-            "q": pa.array(out_q, type=pa.int32()),
-            "rank": pa.array(out_rank, type=pa.int32()),
-            "vec_id": pa.array(out_id, type=pa.int64()),
-        }
-    )
+    return _rank_table(cand, int(q.shape[0]), k)
 
 
-class LshScorer:
-    """Actor: holds planes + normalized queries + per-query probe-bucket
-    masks (one ray.get in __init__). Each batch computes its rows' buckets
-    locally, scores ONLY rows falling in a query's probe buckets, and
-    emits that batch's top-k candidates per query — the corpus never
-    leaves the workers."""
+class LshScorer(_LazyBroadcast):
+    """Scorer over broadcast (planes, queries, probe-bucket masks). Each
+    batch computes its rows' buckets locally, scores ONLY rows falling in
+    a query's probe buckets, and emits that batch's top-k candidates per
+    query — the corpus never leaves the workers."""
 
     def __init__(self, ref, k: int):
-        planes, qnorm, probe_mask = ray.get(ref)
-        self.planes = planes            # (n_bits, dim)
-        self.qnorm = qnorm              # (nq, dim), L2-normalized
-        self.probe_mask = probe_mask    # (nq, 2**n_bits) bool
+        super().__init__(ref)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        bits = (m @ self.planes.T) > 0
+        planes, qnorm, probe_mask = self.state
+        ids = int64_column(batch["vec_id"])
+        m = embedding_matrix(batch["embedding"])
+        bits = (m @ planes.T) > 0
         buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1).astype(np.int64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
+        mn = _normalize_rows(m)
         out_q, out_id, out_s = [], [], []
-        for qi in range(self.qnorm.shape[0]):
-            mask = self.probe_mask[qi][buckets]
+        for qi in range(qnorm.shape[0]):
+            mask = probe_mask[qi][buckets]
             if not mask.any():
                 continue
-            s = mn[mask] @ self.qnorm[qi]
+            s = mn[mask] @ qnorm[qi]
             cids = ids[mask]
             top = np.lexsort((cids, -s))[: self.k]
             out_q.extend([qi] * len(top))
@@ -291,9 +399,7 @@ def lsh_topk(
         ham += (x & 1).astype(np.int64)
         x >>= np.uint64(1)
     probe_mask = ham <= probe_hamming
-    qn = np.linalg.norm(q, axis=1)
-    qn[qn == 0] = 1.0
-    qnorm = q / qn[:, None]
+    qnorm = _normalize_rows(q)
     ref = ray.put((bucketer.planes, qnorm, probe_mask))
     if concurrency:
         cand = ds.map_batches(
@@ -303,25 +409,6 @@ def lsh_topk(
             concurrency=concurrency,
         )
     else:
-        # instance = task mode: no actor-pool spin-up; the broadcast state
-        # is fetched per task via the same ray.put ref (tiny for queries)
+        # task mode: instance pickles only the ref (lazy per-worker fetch)
         cand = ds.map_batches(LshScorer(ref=ref, k=k), batch_format="pyarrow")
-    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
-    out_q, out_rank, out_id = [], [], []
-    qcol = np.asarray(tbl["q"].to_pylist(), dtype=np.int64)
-    icol = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    scol = np.asarray(tbl["score"].to_pylist(), dtype=np.float64)
-    for qi in range(q.shape[0]):
-        mask = qcol == qi
-        top_ids, _ = _topk_merge([(icol[mask], scol[mask])], k)
-        for r, vid in enumerate(top_ids):
-            out_q.append(qi)
-            out_rank.append(r)
-            out_id.append(int(vid))
-    return pa.table(
-        {
-            "q": pa.array(out_q, type=pa.int32()),
-            "rank": pa.array(out_rank, type=pa.int32()),
-            "vec_id": pa.array(out_id, type=pa.int64()),
-        }
-    )
+    return _rank_table(cand, int(q.shape[0]), k)

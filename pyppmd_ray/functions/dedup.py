@@ -146,6 +146,18 @@ def minhash_bands(batch: pa.Table, bands: int = 16, rows: int = 8) -> pa.Table:
     pairs without a second join (a list<int64> column costs ~2× in the
     all-to-all shuffle)."""
     out_band, out_key, out_id, out_sig = [], [], [], []
+    if batch.num_rows:
+        sig_len = None
+        for s in batch["sig"].to_pylist():
+            if s is not None:
+                sig_len = len(s)
+                break
+        if sig_len is not None and bands * rows > sig_len:
+            # out-of-range slices would give every doc band_key '' in the
+            # excess bands — one giant bucket, O(n²) verification
+            raise ValueError(
+                f"bands*rows ({bands}*{rows}) exceeds signature length {sig_len}"
+            )
     for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
         if sig is None:
             continue
@@ -218,6 +230,12 @@ def minhash_lsh_pairs(
     O(docs × bands); the driver only sees the final (tiny) pair set."""
     from ray.data.aggregate import Max
 
+    if bands * rows > num_hashes:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}={bands * rows}) must be <= "
+            f"num_hashes ({num_hashes}) — excess bands would share an empty "
+            "band_key and collapse the corpus into one O(n²) bucket"
+        )
     if concurrency:
         sigs = ds.map_batches(
             MinHasher,
@@ -309,8 +327,10 @@ def embedding_neardup_pairs(tbl: pa.Table, threshold: float = 0.9) -> pa.Table:
     brute-force float64 matmul. Small-scale oracle cross-check; the
     distributed paths are :func:`embedding_neardup_ds` (exact) and
     :func:`embedding_neardup_lsh` (bucketed, the 100 TB shape)."""
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    from .embeddings import embedding_matrix, int64_column
+
+    ids = int64_column(tbl["vec_id"])
+    m = embedding_matrix(tbl["embedding"])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     mn = m / norms[:, None]
@@ -326,23 +346,35 @@ def embedding_neardup_pairs(tbl: pa.Table, threshold: float = 0.9) -> pa.Table:
 
 
 class _NeardupScorer:
-    """Actor: holds the broadcast normalized corpus matrix; each batch
-    scores its rows against the full matrix and emits (a < b) pairs."""
+    """Holds a ref to the broadcast normalized corpus matrix; fetched
+    lazily ONCE per worker process (``__getstate__`` drops the resolved
+    state, so task mode pickles only the tiny ObjectRef — the broadcast
+    genuinely goes through the object store, not the serialized UDF)."""
 
     def __init__(self, ref, threshold: float):
-        ids, mn = ray.get(ref)
-        self.ids = ids
-        self.mn = mn
+        self._ref = ref
+        self._state = None
         self.threshold = threshold
 
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_state"] = None
+        return d
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        from .embeddings import embedding_matrix, int64_column
+
+        if self._state is None:
+            r = self._ref
+            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        ids, mn = self._state
+        bids = int64_column(batch["vec_id"])
+        m = embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
-        cos = (m / norms[:, None]) @ self.mn.T  # (batch, corpus)
+        cos = (m / norms[:, None]) @ mn.T  # (batch, corpus)
         ia, ib = np.where(cos > self.threshold)
-        a_ids, b_ids = bids[ia], self.ids[ib]
+        a_ids, b_ids = bids[ia], ids[ib]
         keep = a_ids < b_ids  # each unordered pair emitted exactly once
         return pa.table(
             {
@@ -352,20 +384,34 @@ class _NeardupScorer:
         )
 
 
+@ray.remote
+def _assemble_normalized(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Worker-side assembly of the broadcast (ids, normalized matrix) —
+    the whole corpus never lands on the driver; the result goes straight
+    into the object store as this task's return value."""
+    from .embeddings import embedding_matrix, int64_column
+
+    tbl = pa.concat_tables(tables)
+    ids = int64_column(tbl["vec_id"])
+    m = embedding_matrix(tbl["embedding"])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, m / norms[:, None]
+
+
 def embedding_neardup_ds(
     ds: rd.Dataset, threshold: float = 0.9, concurrency=None
 ) -> rd.Dataset:
-    """Distributed exact near-dup: the normalized corpus is broadcast ONCE
-    (ray.put, fetched per actor in __init__), each batch does one matmul
-    against it in a worker. O(n²) compute spread over the pool, O(n·d)
-    broadcast memory per node — exact up to ~10^6 vectors; beyond that use
+    """Distributed exact near-dup: the normalized corpus matrix is
+    assembled IN A WORKER (``to_arrow_refs`` → one remote task concats and
+    normalizes; the driver touches only ObjectRefs) and broadcast once via
+    the object store; each batch does one matmul against it in a worker.
+    O(n²) compute spread over the pool, O(n·d) broadcast memory per node —
+    exact up to ~10^6 vectors; beyond that use
     :func:`embedding_neardup_lsh`."""
-    tbl = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids, m / norms[:, None]))
+    proj = ds.select_columns(["vec_id", "embedding"])
+    block_refs = proj.to_arrow_refs()
+    ref = _assemble_normalized.remote(*block_refs)
     if concurrency:
         return ds.map_batches(
             _NeardupScorer,

@@ -10,6 +10,35 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def embedding_matrix(col: pa.Array | pa.ChunkedArray, dtype=np.float64) -> np.ndarray:
+    """list<float> column → (n, d) ndarray WITHOUT boxing through Python
+    objects (``to_pylist`` costs ~10× on n×64 floats): ``pc.list_flatten``
+    + ``to_numpy`` reads the Arrow value buffer directly. Raises on ragged
+    or null rows (embeddings are fixed-dim by contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    lens = pc.list_value_length(col)
+    d = lens[0].as_py()
+    mm = pc.min_max(lens)
+    if mm["min"].as_py() != d or mm["max"].as_py() != d:
+        raise ValueError("ragged embedding column (rows differ in length)")
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, d)
+
+
+def int64_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Integer column → int64 ndarray via the Arrow buffer (no pylist)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 class EmbeddingQuantizer:
@@ -19,7 +48,7 @@ class EmbeddingQuantizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"]
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = embedding_matrix(batch["embedding"])
         amax = np.abs(m).max(axis=1)
         scale = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0), 0.0)
         q = np.floor(m * scale[:, None] + 0.5).astype(np.int64)
@@ -34,7 +63,7 @@ class EmbeddingQuantizer:
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """L2-normalize the embedding column (float64; 0-vectors unchanged)."""
-    m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    m = embedding_matrix(batch["embedding"])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     out = m / norms[:, None]

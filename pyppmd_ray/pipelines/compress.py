@@ -183,14 +183,38 @@ def decode_dataset(
     concurrency=None,
     on_error: str = "raise",
     quarantine_dir: str | None = None,
+    columns: list[str] | None = None,
 ) -> rd.Dataset:
+    """Encoded block rows → decoded tables (streams block-by-block).
+
+    ``columns``: decode ONLY these columns — per-column framing means
+    non-requested blobs are skipped entirely (the engine's analogue of
+    parquet column pruning; the reference's single-stream format must
+    always decode everything, `/root/reference/src/ext/_ppmdmodule.c:
+    396-615`). Decode cost scales with SELECTED bytes, not total bytes.
+    """
+    if on_error == "quarantine" and not quarantine_dir:
+        # a None dir would silently drop corrupt blocks with no record
+        # anywhere — rows would vanish from the output without a trace
+        raise ValueError(
+            "on_error='quarantine' requires quarantine_dir (otherwise "
+            "corrupt blocks would be dropped without any record)"
+        )
     if concurrency is not None:
         return encoded.map_batches(
-            DecoderActor, batch_format="pyarrow", batch_size=None, concurrency=concurrency
+            DecoderActor,
+            fn_constructor_kwargs={"columns": columns},
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
         )
     return encoded.map_batches(
         decode_batches,
-        fn_kwargs={"on_error": on_error, "quarantine_dir": quarantine_dir},
+        fn_kwargs={
+            "on_error": on_error,
+            "quarantine_dir": quarantine_dir,
+            "columns": columns,
+        },
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -464,6 +488,20 @@ def run_encode_job(
                 f"({prev} != {job_params}); resume would duplicate rows — "
                 "use a fresh out_dir or pass resume=False after clearing it"
             )
+    elif resume and (
+        os.path.isdir(os.path.join(out_dir, "blocks"))
+        or os.path.isdir(os.path.join(out_dir, "_manifests"))
+    ):
+        # blocks/manifests from a build that predates _job.json: its plan
+        # parameters are unknown, so a resume could silently re-plan to
+        # all-new unit ids and leave stale blocks that duplicate rows at
+        # decode — treat exactly like a parameter mismatch
+        raise CodecError(
+            f"out_dir {out_dir} contains blocks/manifests but no _job.json "
+            "(written before the parameter guard); resume cannot prove the "
+            "plan matches — use a fresh out_dir or pass resume=False after "
+            "clearing it"
+        )
     tmp = job_path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(job_params, f)
@@ -518,16 +556,19 @@ def read_encoded(out_dir: str) -> rd.Dataset:
 
 
 def run_decode_job(
-    out_dir: str, *, concurrency=None, quarantine: bool = False
+    out_dir: str, *, concurrency=None, quarantine: bool = False,
+    columns: list[str] | None = None,
 ) -> rd.Dataset:
     """Decode all blocks under ``out_dir``. ``quarantine=True``: corrupt
     blocks are skipped and parked under ``out_dir/_quarantine/`` instead
-    of failing the job."""
+    of failing the job. ``columns``: decode only these columns (skips the
+    other per-column blobs entirely)."""
     return decode_dataset(
         read_encoded(out_dir),
         concurrency=concurrency,
         on_error="quarantine" if quarantine else "raise",
         quarantine_dir=os.path.join(out_dir, "_quarantine") if quarantine else None,
+        columns=columns,
     )
 
 

@@ -202,12 +202,23 @@ def _cascade_id(blob: bytes | memoryview) -> str:
     return name
 
 
-def decode_block(payload: bytes | memoryview) -> pa.Table:
+def decode_block(
+    payload: bytes | memoryview, columns: list[str] | None = None
+) -> pa.Table:
     """Inverse of :func:`encode_block` — bit-identical table slice
-    (including original row order when the block was cluster-sorted)."""
+    (including original row order when the block was cluster-sorted).
+
+    ``columns``: decode ONLY these columns. Every column is an
+    independently framed blob, so non-requested blobs are SKIPPED without
+    decoding (length-prefixed framing — a seek, not a decode). This is the
+    per-column engine's analogue of parquet column pruning; the
+    reference's single compressed stream cannot skip anything
+    (`/root/reference/src/ext/_ppmdmodule.c:396-615` decodes the whole
+    stream regardless of what the caller needs)."""
     mv = memoryview(payload)
     ncols, pos = read_uvarint(mv, 0)
     cols: dict[str, pa.Array] = {}
+    wanted = None if columns is None else set(columns)
     perm = None
     for _ in range(ncols):
         nlen, pos = read_uvarint(mv, pos)
@@ -215,11 +226,18 @@ def decode_block(payload: bytes | memoryview) -> pa.Table:
         pos += nlen
         blen, pos = read_uvarint(mv, pos)
         if name == PERM_ENTRY:
+            # always decoded: restores original row order for any subset
             perm = np.asarray(decode_blob(mv[pos : pos + blen]), dtype=np.int64)
-        else:
+        elif wanted is None or name in wanted:
             cols[name] = decode_blob(mv[pos : pos + blen])
         pos += blen
-    tbl = pa.table(cols)
+    if wanted is not None:
+        missing = wanted - cols.keys()
+        if missing:
+            raise KeyError(f"columns not in block: {sorted(missing)}")
+        tbl = pa.table({c: cols[c] for c in columns})
+    else:
+        tbl = pa.table(cols)
     if perm is not None:
         tbl = tbl.take(pa.array(perm))
     return tbl

@@ -50,10 +50,17 @@ def encode_batches(
 
 
 def decode_batches(
-    batch: pa.Table, *, on_error: str = "raise", quarantine_dir: str | None = None
+    batch: pa.Table,
+    *,
+    on_error: str = "raise",
+    quarantine_dir: str | None = None,
+    columns: list[str] | None = None,
 ):
     """Stateless decode: yields one decoded table per block so downstream
     stages stream block-by-block instead of waiting on a concat.
+
+    ``columns``: project the decode — skip non-requested per-column blobs
+    entirely (see :func:`..stages.blocks.decode_block`).
 
     ``on_error="quarantine"``: a corrupt block doesn't poison the job —
     it is skipped, and its payload + error are written to
@@ -66,7 +73,7 @@ def decode_batches(
     for i in range(batch.num_rows):
         payload = batch["payload"][i].as_py()
         try:
-            yield decode_block(payload)
+            yield decode_block(payload, columns=columns)
         except (CodecError, ValueError, KeyError, IndexError) as e:
             if on_error != "quarantine":
                 raise
@@ -114,5 +121,8 @@ class EncoderActor:
 class DecoderActor:
     """Actor-pool variant of :func:`decode_batches`."""
 
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
     def __call__(self, batch: pa.Table):
-        yield from decode_batches(batch)
+        yield from decode_batches(batch, columns=self.columns)

@@ -123,6 +123,9 @@ class TestResumableJob:
         os.makedirs(out_b, exist_ok=True)
         import shutil
 
+        # _job.json is written before any unit, so a real crashed run
+        # always has it — resume without it is rejected (tested below)
+        shutil.copy(os.path.join(out_a, "_job.json"), os.path.join(out_b, "_job.json"))
         for u in units[:2]:
             shutil.copytree(
                 os.path.join(out_a, "_manifests"),
@@ -280,3 +283,84 @@ def test_encode_dataset_plan_block_roundtrip():
         )
     )
     assert dec.sort_by("path").equals(t.sort_by("path").select(dec.column_names))
+
+
+class TestProjectionDecode:
+    """Column-projection decode: only requested per-column blobs are
+    decoded; the rest are skipped via the length-prefixed framing."""
+
+    def test_decode_block_projected(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(100), type=pa.int64()),
+                "text": pa.array([f"line {i} " * 20 for i in range(100)]),
+                "lang": pa.array(["en", "de"] * 50),
+            }
+        )
+        blk = encode_block(t)
+        proj = decode_block(blk["payload"], columns=["doc_id", "lang"])
+        assert proj.column_names == ["doc_id", "lang"]
+        assert proj.equals(t.select(["doc_id", "lang"]))
+        # full decode still bit-identical
+        assert decode_block(blk["payload"]).equals(t)
+
+    def test_decode_block_projected_missing_column(self):
+        t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64())})
+        blk = encode_block(t)
+        with pytest.raises(KeyError):
+            decode_block(blk["payload"], columns=["a", "nope"])
+
+    def test_decode_dataset_projected(self, source_parquet):
+        import ray.data as rd
+
+        ds = rd.read_parquet(source_parquet)
+        enc = encode_dataset(ds)
+        dec = pa.concat_tables(
+            decode_dataset(enc, columns=["path"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        orig = pq.read_table(source_parquet, columns=["path"])
+        assert dec.num_rows == orig.num_rows
+        assert sorted(dec["path"].to_pylist()) == sorted(orig["path"].to_pylist())
+
+    def test_projected_restores_cluster_sorted_order(self):
+        # block with a non-identity cluster permutation: projection must
+        # still restore the ORIGINAL row order via the perm entry
+        t = pa.table(
+            {
+                "lang": pa.array(["zz", "aa"] * 50),
+                "doc_id": pa.array(range(100), type=pa.int64()),
+                "text": pa.array([f"body {i}" for i in range(100)]),
+            }
+        )
+        blk = encode_block(t, cluster_by=("lang",))
+        proj = decode_block(blk["payload"], columns=["doc_id"])
+        assert proj["doc_id"].to_pylist() == list(range(100))
+
+
+def test_quarantine_requires_dir():
+    import ray.data as rd
+
+    from pyppmd_ray.codecs.base import CodecError
+
+    enc = encode_dataset(rd.from_arrow(pa.table({"a": [1, 2]})))
+    with pytest.raises(ValueError):
+        decode_dataset(enc, on_error="quarantine", quarantine_dir=None)
+
+
+def test_resume_without_job_json_rejected(source_parquet, tmp_path):
+    """blocks/ present but no _job.json (pre-guard layout) → resume must
+    refuse instead of silently re-planning to new unit ids."""
+    from pyppmd_ray.codecs.base import CodecError
+
+    out = str(tmp_path / "legacy")
+    run_encode_job(source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1)
+    os.remove(os.path.join(out, "_job.json"))
+    with pytest.raises(CodecError):
+        run_encode_job(source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1)
+    # resume=False proceeds (re-encodes everything)
+    s = run_encode_job(
+        source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1, resume=False
+    )
+    assert s["units_encoded"] == s["units_total"]
