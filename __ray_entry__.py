@@ -171,6 +171,75 @@ def _q_asof_events_orders(sf_dir: str):
     )
 
 
+def _q_roundtrip_projected(sf_dir: str):
+    """Column-projection decode: only (doc_id, text) blobs are decoded;
+    the lang/source/n_chars blobs are skipped via the per-column framing
+    (the reference's single-stream format cannot skip anything)."""
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset
+
+    enc = encode_dataset(_ds(sf_dir, "documents"))
+    return decode_dataset(enc, columns=["doc_id", "text"])
+
+
+def _q_roundtrip_u64_boundary(sf_dir: str):
+    """Round-trip of uint64 boundary values (2^63, 2^64-1 neighborhoods)
+    derived deterministically from supplier keys — end-to-end CORRECTNESS
+    coverage of the u64 bit-reinterpret path (codecs/column.py)."""
+    import ray.data as rd
+
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset
+
+    def widen(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = np.uint64(0xFFFFFFFFFFFFFFFF) - k   # near 2^64-1
+        mid = np.uint64(1 << 63) + k             # near 2^63
+        return batch.append_column(
+            "u64_hi", pa.array(hi, type=pa.uint64())
+        ).append_column("u64_mid", pa.array(mid, type=pa.uint64()))
+
+    src = _ds(sf_dir, "supplier").map_batches(widen, batch_format="pyarrow")
+    return decode_dataset(encode_dataset(src))
+
+
+def _q_lineitem_orders_join(sf_dir: str):
+    """General equi-join, shuffle path (fact⋈fact: tag + union + one
+    hash-partitioned groupby(key) cross-product)."""
+    import ray.data as rd
+
+    from pyppmd_ray.functions.relational import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    return hash_join(li, od, on="l_orderkey", right_on="o_orderkey", how="inner")
+
+
+def _q_lineitem_orders_join_bc(sf_dir: str):
+    """Same join, broadcast path (dimension-table shape: right side
+    assembled in a worker, broadcast once, per-batch Arrow hash join —
+    zero shuffle)."""
+    import ray.data as rd
+
+    from pyppmd_ray.functions.relational import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    return hash_join(
+        li, od, on="l_orderkey", right_on="o_orderkey", how="inner", broadcast=True
+    )
+
+
 def _q_ann_topk(sf_dir: str):
     from pyppmd_ray.functions.ann import brute_force_topk
 
@@ -315,6 +384,27 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_multimodal_pixels(sf_dir: str):
+    """Full pixel path: documents → PNG payloads WITH a real zlib IDAT
+    (per-row filters 0-4) → MediaDecoder(decode_pixels=True) inflates +
+    unfilters and emits per-image pixel summaries. Pixels are a
+    deterministic function of n_chars, so DuckDB verifies the whole
+    compress→filter→inflate→unfilter loop by value."""
+    from pyppmd_ray.functions.multimodal import MediaDecoder, to_payload_table
+
+    return (
+        _ds(sf_dir, "documents")
+        .map_batches(
+            lambda b: to_payload_table(b, pixels=True), batch_format="pyarrow"
+        )
+        .map_batches(
+            MediaDecoder(decode_pixels=True),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+    )
+
+
 def _q_compression_by_lang(sf_dir: str):
     """Per-lang compression metrics (rows-only: compressed sizes are not
     SQL-expressible). The lang-partitioned encode runs IN the cluster via
@@ -386,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_nation": _q_roundtrip("nation"),
         "roundtrip_region": _q_roundtrip("region"),
         "roundtrip_supplier": _q_roundtrip("supplier"),
+        "roundtrip_documents_projected": _q_roundtrip_projected,
+        "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
         "chunking_invariance": _q_chunking_invariance,
         "roundtrip_partitioned": _q_roundtrip_partitioned,
         "compression_by_lang": _q_compression_by_lang,
@@ -411,11 +503,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates / relational / pipeline ops
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
+        "lineitem_orders_join": _q_lineitem_orders_join,
+        "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "events_windowed": _q_events_windowed,
         "asof_events_orders": _q_asof_events_orders,
         "prepare_corpus": _q_prepare_corpus,
-        # multimodal plumbing
+        # multimodal plumbing + real pixel decode
         "multimodal_meta": _q_multimodal,
+        "multimodal_pixels": _q_multimodal_pixels,
     }
 
 
@@ -741,6 +836,22 @@ FROM documents
 """
 
 
+def _multimodal_pixels_sql() -> str:
+    """Per-pixel value check of the decoded IDAT: pixel[r,c] =
+    (r*31 + c*7 + n_chars) % 256 over the deterministic small dims."""
+    return """
+WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+dims AS (SELECT doc_id, CAST(8 + n % 16 AS INTEGER) AS width,
+                CAST(8 + (3*n) % 16 AS INTEGER) AS height, n FROM d)
+SELECT doc_id, width, height, CAST(width*height AS BIGINT) AS n_px,
+       CAST(sum((r*31 + c*7 + n) % 256) AS BIGINT) AS px_sum
+FROM dims,
+     LATERAL (SELECT unnest(generate_series(0, height-1)) AS r) rr,
+     LATERAL (SELECT unnest(generate_series(0, width-1)) AS c) cc
+GROUP BY doc_id, width, height, n_px
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -753,6 +864,13 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_nation": "SELECT * FROM nation",
         "roundtrip_region": "SELECT * FROM region",
         "roundtrip_supplier": "SELECT * FROM supplier",
+        "roundtrip_documents_projected": "SELECT doc_id, text FROM documents",
+        "roundtrip_u64_boundary": (
+            "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, "
+            "CAST(18446744073709551615 AS UBIGINT) - CAST(s_suppkey AS UBIGINT) AS u64_hi, "
+            "CAST(9223372036854775808 AS UBIGINT) + CAST(s_suppkey AS UBIGINT) AS u64_mid "
+            "FROM supplier"
+        ),
         "chunking_invariance": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_partitioned": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -778,6 +896,14 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "lineitem_orders_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "lineitem_orders_join_bc": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
         ),
         "prepare_corpus": (
             # dedup (min-id per text) → quality gate, mirroring the engine's
@@ -835,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": _bpe_token_sql(),
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "multimodal_meta": _multimodal_sql(),
+        "multimodal_pixels": _multimodal_pixels_sql(),
         # rows-only (non-SQL-expressible): compression_by_lang — compressed
         # sizes come from the engine's own codecs; its row shape is checked
         # by the driver's weaker rows-only pass and by tests/test_queries.py

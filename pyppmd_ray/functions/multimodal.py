@@ -1,15 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The payload container is REAL: :func:`to_payload_table` wraps each
-document as a structurally-valid PNG (signature, IHDR, one ancillary text
-chunk holding the UTF-8 bytes, IEND — correct lengths and CRC32s), and
-:class:`MediaDecoder` is a real pure-Python binary parser that walks the
-chunk stream and extracts IHDR metadata (width/height/bit depth/color
-type). Only PIXEL decoding is stubbed (``NotImplementedError`` — the
-image codecs aren't in this container); the Ray-side plumbing — binary
-schema, actor-pool map_batches, byte-sized batches, output layout — is
-real and oracle-checked (width/height are deterministic functions of
-n_chars, so DuckDB can verify the generator→parser loop end-to-end).
+The payload container AND the pixel codec are REAL: :func:`to_payload_table`
+wraps each document as a structurally-valid PNG (signature, IHDR, optional
+zlib-compressed IDAT with per-row filters 0-4, one ancillary text chunk
+holding the UTF-8 bytes, IEND — correct lengths and CRC32s), and
+:class:`MediaDecoder` is a pure-Python decoder: a chunk walker that
+CRC-verifies every chunk, plus (``decode_pixels=True``) a full grayscale-8
+pixel decode — zlib inflate + scanline unfilter (None/Sub/Up/Average/
+Paeth, the five PNG filter types, RFC 2083 §6). Pixels are a deterministic
+function of the text length, so DuckDB can verify the whole
+generate→compress→filter→inflate→unfilter loop end-to-end by value.
 
 At scale: binary columns stay in ``batch_format="pyarrow"`` end-to-end
 (zero-copy Arrow buffers; pandas would copy to object dtype), and
@@ -22,6 +22,7 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
 import pyarrow as pa
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -38,17 +39,102 @@ def png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def make_png(width: int, height: int, payload: bytes) -> bytes:
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    if pb_ <= pc_:
+        return b
+    return c
+
+
+def filter_scanlines(px: np.ndarray) -> bytes:
+    """Grayscale-8 rows → PNG-filtered raw scanline stream. Filter type
+    cycles r % 5 so every filter (None/Sub/Up/Average/Paeth) is exercised
+    on every image taller than 4 rows."""
+    h, w = px.shape
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        row = px[r].astype(np.int32)
+        ftype = r % 5
+        left = np.concatenate(([0], row[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int32,
+                count=w,
+            )
+            filt = row - pred
+        out.append(ftype)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    return bytes(out)
+
+
+def unfilter_scanlines(raw: bytes, width: int, height: int) -> np.ndarray:
+    """Inverse of :func:`filter_scanlines` for any valid filter sequence
+    (not just the r%5 cycle) — a real PNG unfilter for grayscale-8."""
+    if len(raw) != height * (width + 1):
+        raise ValueError(
+            f"scanline stream is {len(raw)} bytes, expected {height * (width + 1)}"
+        )
+    px = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=width, offset=pos).astype(np.int32)
+        pos += width
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prev) % 256
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(width, dtype=np.int32)
+            for c in range(width):
+                left = int(cur[c - 1]) if c else 0
+                up = int(prev[c])
+                ul = int(prev[c - 1]) if c else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[c] = (row[c] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        px[r] = cur.astype(np.uint8)
+        prev = cur
+    return px
+
+
+def make_png(width: int, height: int, payload: bytes, pixels: np.ndarray | None = None) -> bytes:
     """Structurally-valid grayscale-8 PNG carrying ``payload`` in an
-    ancillary ``teXt`` chunk (no pixel data — parsers that stop at IHDR,
-    like MediaDecoder, read it like any real PNG header)."""
+    ancillary ``teXt`` chunk. ``pixels`` (a (height, width) uint8 array)
+    adds a REAL zlib-compressed IDAT with per-row filters — decodable by
+    any PNG reader; without it the container has no pixel data (parsers
+    that stop at IHDR read it like any real PNG header)."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    return (
-        PNG_SIG
-        + png_chunk(b"IHDR", ihdr)
-        + png_chunk(b"teXt", payload)
-        + png_chunk(b"IEND", b"")
-    )
+    body = PNG_SIG + png_chunk(b"IHDR", ihdr)
+    if pixels is not None:
+        if pixels.shape != (height, width):
+            raise ValueError(f"pixels shape {pixels.shape} != ({height}, {width})")
+        body += png_chunk(b"IDAT", zlib.compress(filter_scanlines(pixels), 6))
+    return body + png_chunk(b"teXt", payload) + png_chunk(b"IEND", b"")
 
 
 def parse_png_header(data: bytes) -> dict:
@@ -77,17 +163,64 @@ def parse_png_header(data: bytes) -> dict:
     }
 
 
-def to_payload_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def iter_png_chunks(data: bytes):
+    """Walk the full chunk stream, CRC-verifying every chunk. Raises
+    ValueError on malformed input (poison-row policy)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(data):
+            raise ValueError(f"truncated {typ!r} chunk")
+        body = data[pos + 8 : end]
+        (crc,) = struct.unpack(">I", data[end : end + 4])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"{typ!r} CRC mismatch")
+        yield typ, body
+        pos = end + 4
+        if typ == b"IEND":
+            return
+    raise ValueError("no IEND chunk")
+
+
+def deterministic_pixels(width: int, height: int, n_chars: int) -> np.ndarray:
+    """pixel[r, c] = (r*31 + c*7 + n_chars) % 256 — SQL-reproducible, so
+    a DuckDB oracle can verify the decoded pixels by value."""
+    r = np.arange(height, dtype=np.int64)[:, None]
+    c = np.arange(width, dtype=np.int64)[None, :]
+    return ((r * 31 + c * 7 + n_chars) % 256).astype(np.uint8)
+
+
+# pixel-variant dimensions stay small (≤ 23×23) so the SQL oracle's
+# per-pixel unnest stays cheap at test scale
+def _pixel_dims(n_chars: int) -> tuple[int, int]:
+    return 8 + n_chars % 16, 8 + (3 * n_chars) % 16
+
+
+def to_payload_table(
+    batch: pa.Table, text_col: str = "text", pixels: bool = False
+) -> pa.Table:
     """Adapter: wrap a documents batch as PNG payloads with metadata —
     the multimodal input shape (payload, media_type, n_bytes). Width and
-    height derive deterministically from n_chars (oracle-checkable)."""
+    height derive deterministically from n_chars (oracle-checkable).
+    ``pixels=True`` embeds a real IDAT with deterministic pixel content
+    (small dims; see :func:`deterministic_pixels`)."""
     texts = [(t or "") for t in batch[text_col].to_pylist()]
     payloads = []
     for t in texts:
         n_chars = len(t)
-        payloads.append(
-            make_png(16 + n_chars % 1024, 16 + (7 * n_chars) % 1024, t.encode("utf-8"))
-        )
+        if pixels:
+            w, h = _pixel_dims(n_chars)
+            payloads.append(
+                make_png(w, h, t.encode("utf-8"), deterministic_pixels(w, h, n_chars))
+            )
+        else:
+            payloads.append(
+                make_png(16 + n_chars % 1024, 16 + (7 * n_chars) % 1024, t.encode("utf-8"))
+            )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -101,19 +234,49 @@ def to_payload_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage for binary media columns.
 
-    Header metadata extraction is REAL (pure-Python PNG chunk walker);
-    pixel decoding needs image codecs absent from this container and is
-    the marked stub: construct with ``decode_pixels=True`` to hit the
-    ``NotImplementedError`` integration point."""
+    Default: header metadata extraction (pure-Python CRC-checked PNG
+    chunk walker). ``decode_pixels=True``: full grayscale-8 pixel decode
+    — concatenated IDAT → zlib inflate → scanline unfilter (all five PNG
+    filter types) — emitting per-image pixel summaries (n_px, px_sum)
+    that a SQL oracle can verify by value."""
 
     def __init__(self, decode_pixels: bool = False):
         self.decode_pixels = decode_pixels
 
+    def decode_image(self, data: bytes) -> np.ndarray:
+        """One PNG payload → (height, width) uint8 pixel array. Raises
+        ValueError on malformed containers or non-grayscale-8 images."""
+        hdr = parse_png_header(data)
+        if hdr["bit_depth"] != 8 or hdr["color_type"] != 0:
+            raise ValueError(
+                f"only grayscale-8 supported (got depth={hdr['bit_depth']}, "
+                f"color_type={hdr['color_type']})"
+            )
+        idat = b"".join(body for typ, body in iter_png_chunks(data) if typ == b"IDAT")
+        if not idat:
+            raise ValueError("no IDAT chunk: container carries no pixel data")
+        raw = zlib.decompress(idat)
+        return unfilter_scanlines(raw, hdr["width"], hdr["height"])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode_pixels:
-            raise NotImplementedError(
-                "pixel decoding needs PIL/libpng — not available in this "
-                "container; header metadata extraction runs without it"
+            ids, widths, heights, n_px, px_sum = [], [], [], [], []
+            for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+                data = p.as_py() or b""
+                px = self.decode_image(data)
+                ids.append(doc_id)
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                n_px.append(px.size)
+                px_sum.append(int(px.astype(np.int64).sum()))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "width": pa.array(widths, type=pa.int32()),
+                    "height": pa.array(heights, type=pa.int32()),
+                    "n_px": pa.array(n_px, type=pa.int64()),
+                    "px_sum": pa.array(px_sum, type=pa.int64()),
+                }
             )
         ids, widths, heights, depths, ctypes, sizes = [], [], [], [], [], []
         for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):

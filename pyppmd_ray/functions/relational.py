@@ -12,8 +12,16 @@ and document the partitioning assumption each relies on.
   right_ts <= left_ts within the same key. Shape: tag + union + one
   hash-partitioned groupby(key) + a vectorized per-group merge
   (searchsorted). Partitioning assumption: one KEY's rows fit in a
-  worker (keys here are users/customers — bounded); a hot key would need
-  time-range salting on top.
+  worker (keys here are users/customers — bounded); hot keys are salted
+  automatically when a group would exceed ``salt_rows``.
+- :func:`hash_join` — general equi-join (inner/left). Two shapes:
+  ``broadcast=True`` ships the (small) right side once via the object
+  store and each left batch joins locally with an Arrow hash join — zero
+  shuffle, the 100 TB shape for dimension tables; the default shuffle
+  path tags + unions both sides (null-padded common schema) and
+  cross-products inside one hash-partitioned groupby(key).map_groups —
+  for two large sides. Partitioning assumption (shuffle path): one
+  key's rows from BOTH sides fit in a worker.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 
@@ -141,3 +150,154 @@ def asof_join(
         )
 
     return unioned.groupby("k").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- equi-join
+
+
+@ray.remote
+def _concat_remote(*tables: pa.Table) -> pa.Table:
+    """Worker-side concat for the broadcast side — the table goes straight
+    into the object store; the driver only handles refs."""
+    return pa.concat_tables(tables)
+
+
+class _BroadcastJoiner:
+    """Per-batch Arrow hash join against a broadcast right table. The
+    instance pickles only the ObjectRef; the table is fetched lazily once
+    per worker process (same discipline as the ANN scorers)."""
+
+    def __init__(self, ref, keys, right_keys, join_type, right_suffix="_r"):
+        self._ref = ref
+        self._state = None
+        self.keys = keys
+        self.right_keys = right_keys
+        self.join_type = join_type
+        self.right_suffix = right_suffix
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_state"] = None
+        return d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._state is None:
+            r = self._ref
+            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        return batch.join(
+            self._state,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=self.join_type,
+            right_suffix=self.right_suffix,
+        )
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str | tuple[str, ...] | list[str],
+    right_on: str | tuple[str, ...] | list[str] | None = None,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    broadcast: bool = False,
+) -> rd.Dataset:
+    """General equi-join (the first relational op Ray Data itself lacks).
+
+    Output schema: join keys (left names) + left value columns + right
+    value columns (suffixed ``_r`` on collision). ``how``: "inner" or
+    "left".
+
+    ``broadcast=True`` — dimension-table shape: the right side is
+    assembled IN a worker (``to_arrow_refs`` → remote concat; never on
+    the driver), broadcast once through the object store, and each left
+    batch runs a local Arrow hash join. Zero shuffle; right side must fit
+    a worker's heap.
+
+    Default (shuffle) shape — fact⋈fact: both sides project to a common
+    null-padded schema, union (no shuffle), then ONE hash-partitioned
+    ``groupby(keys).map_groups`` builds the per-key cross product.
+    All-to-all volume = both projected sides, paid once. Partitioning
+    assumption: one key's rows from both sides fit in a worker (salt the
+    key upstream if a single key dominates)."""
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = lkeys if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lschema = left.schema()
+    rschema = right.schema()
+    lval = left_columns if left_columns is not None else [
+        n for n in lschema.names if n not in lkeys
+    ]
+    rval = right_columns if right_columns is not None else [
+        n for n in rschema.names if n not in rkeys
+    ]
+
+    if broadcast:
+        proj = right.select_columns(rkeys + rval)
+        ref = _concat_remote.remote(*proj.to_arrow_refs())
+        joiner = _BroadcastJoiner(
+            ref, lkeys, rkeys, "inner" if how == "inner" else "left outer"
+        )
+        lds = left.select_columns(lkeys + lval) if left_columns is not None else left
+        return lds.map_batches(joiner, batch_format="pyarrow")
+
+    # ---- shuffle path: tag + union over a common null-padded schema
+    # (ray.data Schema exposes parallel .names/.types, not pa.Schema iteration)
+    lfield = dict(zip(lschema.names, lschema.types))
+    rfield = dict(zip(rschema.names, rschema.types))
+    # right value columns renamed on collision with left output names
+    taken = set(lkeys) | set(lval)
+    rout = [(c, c if c not in taken else c + "_r") for c in rval]
+    key_types = [lfield[k] for k in lkeys]
+
+    out_fields = (
+        [(k, t) for k, t in zip(lkeys, key_types)]
+        + [(c, lfield[c]) for c in lval]
+        + [(oc, rfield[c]) for c, oc in rout]
+    )
+    out_schema = pa.schema(out_fields)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict = {}
+            keys_in = lkeys if side == 0 else rkeys
+            for kn, ki, kt in zip(lkeys, keys_in, key_types):
+                cols[kn] = pc.cast(batch[ki], kt)
+            for c in lval:
+                cols[c] = batch[c] if side == 0 else pa.nulls(n, type=lfield[c])
+            for c, oc in rout:
+                cols[oc] = batch[c] if side == 1 else pa.nulls(n, type=rfield[c])
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8), type=pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    lout_names = lkeys + lval
+    rout_names = [oc for _, oc in rout]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if li.size == 0 or (ri.size == 0 and how == "inner"):
+            return out_schema.empty_table()
+        if ri.size == 0:  # left join, no match: right cols stay null
+            return group.take(pa.array(li)).select(
+                lout_names + rout_names
+            ).cast(out_schema)
+        idx_l = np.repeat(li, ri.size)
+        idx_r = np.tile(ri, li.size)
+        lt = group.take(pa.array(idx_l)).select(lout_names)
+        rt = group.take(pa.array(idx_r)).select(rout_names)
+        cols = {n: lt[n] for n in lout_names}
+        cols.update({n: rt[n] for n in rout_names})
+        return pa.table(cols).cast(out_schema)
+
+    return unioned.groupby(lkeys).map_groups(merge, batch_format="pyarrow")

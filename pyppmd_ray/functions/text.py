@@ -58,43 +58,63 @@ LANG_WORD_RE = "[a-zà-öø-ÿ]+"
 CJK_RANGE = ("一", "鿿")
 
 
+def _token_match_counts(
+    base: pa.Array, sep_class: str, words: set[str]
+) -> np.ndarray:
+    """Per-row count of tokens (maximal non-``sep_class`` runs of ``base``)
+    that EXACTLY equal one of ``words`` — fully vectorized.
+
+    Trick: separator runs become DOUBLE spaces and the string is padded,
+    so the non-overlapping regex scan of ``" (?:w1|w2|...) "`` can claim a
+    boundary space on each side of every token without starving its
+    neighbor (RE2 has no lookahead, so boundary spaces must be consumed)."""
+    norm = pc.replace_substring_regex(base, sep_class + "+", "  ")
+    padded = pc.binary_join_element_wise(pa.scalar("  "), norm, pa.scalar("  "), "")
+    alt = " (?:" + "|".join(sorted(words)) + ") "
+    return np.asarray(pc.count_substring_regex(padded, alt), dtype=np.int64)
+
+
 class LangId:
     """n-gram/stopword heuristic language id → (doc_id, pred_lang, score).
 
     Deterministic and SQL-reproducible: CJK chars counted in the first 400
     codepoints (≥4 → zh); otherwise each language scores stopword hits over
     words of the first 2000 codepoints, argmax with ties broken by the
-    fixed order de < en < es < fr."""
+    fixed order de < en < es < fr. Vectorized: one Arrow kernel pass per
+    language (doubled-separator token matching) instead of a Python loop
+    per row."""
 
     LANG_ORDER = ("de", "en", "es", "fr")
 
-    def __init__(self):
-        self.word = re.compile(LANG_WORD_RE)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
+        col = pc.fill_null(batch["text"], "")
         lo, hi = CJK_RANGE
-        for t in batch["text"].to_pylist():
-            t = t or ""
-            cjk = sum(1 for ch in t[:400] if lo <= ch <= hi)
-            if cjk >= 4:
-                preds.append("zh")
-                scores.append(float(cjk))
-                continue
-            toks = self.word.findall(t[:2000].lower())
-            best_lang, best = "", -1.0
-            for lang in self.LANG_ORDER:
-                sw = _STOPWORDS[lang]
-                s = sum(1 for w in toks if w in sw)
-                if s > best:
-                    best_lang, best = lang, float(s)
-            preds.append(best_lang)
-            scores.append(best)
+        head = pc.utf8_slice_codeunits(col, 0, 400)
+        cjk = np.asarray(
+            pc.count_substring_regex(head, f"[{lo}-{hi}]"), dtype=np.int64
+        )
+        body = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, 2000))
+        # word tokens = maximal runs of the word class; separators = the
+        # complement class (same construction the per-row findall used)
+        scores = np.stack(
+            [
+                _token_match_counts(body, "[^a-zà-öø-ÿ]", _STOPWORDS[lang])
+                for lang in self.LANG_ORDER
+            ]
+        ).astype(np.float64)  # (4, n)
+        best_idx = np.argmax(scores, axis=0)  # first max wins = fixed order
+        n = len(col)
+        best = scores[best_idx, np.arange(n)]
+        langs = np.array(self.LANG_ORDER)
+        preds = langs[best_idx].astype(object)
+        is_zh = cjk >= 4
+        preds[is_zh] = "zh"
+        out_score = np.where(is_zh, cjk.astype(np.float64), best)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "pred_lang": pa.array(preds, type=pa.string()),
-                "score": pa.array(scores, type=pa.float64()),
+                "pred_lang": pa.array(preds.tolist(), type=pa.string()),
+                "score": pa.array(out_score, type=pa.float64()),
             }
         )
 
@@ -110,49 +130,51 @@ class QualityScorer:
     token length, alpha ratio, punctuation ratio, stopword ratio. All
     ratios are raw IEEE doubles (no rounding — Python banker's rounding
     diverges from SQL round() at exact .5 ties) so the DuckDB oracle
-    reproduces them bit-for-bit."""
+    reproduces them bit-for-bit.
+
+    Fully vectorized (Arrow kernels end-to-end): char/alpha/punct counts
+    via ``count_substring_regex`` single-char classes; token count/length
+    from separator-run counts; stopword hits via the doubled-separator
+    exact-token match (:func:`_token_match_counts`). Same IEEE divisions
+    as the former per-row loop, so values are bit-identical."""
 
     def __init__(self):
-        self.splitter = re.compile(TOKEN_SPLIT_RE)
-        self.alpha = re.compile(ALPHA_RE)
-        self.punct = re.compile(PUNCT_RE)
         self.stop_all = set().union(*_STOPWORDS.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "doc_id": batch["doc_id"].to_pylist(),
-            "n_chars": [],
-            "n_tokens": [],
-            "mean_token_len": [],
-            "alpha_ratio": [],
-            "punct_ratio": [],
-            "stopword_ratio": [],
-        }
-        for t in batch["text"].to_pylist():
-            t = t or ""
-            st = t.strip(TOKEN_STRIP_CHARS)
-            toks = self.splitter.split(st) if st else []
-            n = len(t)
-            out["n_chars"].append(n)
-            out["n_tokens"].append(len(toks))
-            out["mean_token_len"].append(
-                sum(len(w) for w in toks) / len(toks) if toks else 0.0
-            )
-            out["alpha_ratio"].append(len(self.alpha.findall(t)) / n if n else 0.0)
-            out["punct_ratio"].append(len(self.punct.findall(t)) / n if n else 0.0)
-            low = [w.lower() for w in toks]
-            out["stopword_ratio"].append(
-                sum(1 for w in low if w in self.stop_all) / len(low) if low else 0.0
-            )
+        col = pc.fill_null(batch["text"], "")
+        n = np.asarray(pc.utf8_length(col), dtype=np.int64)
+        trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
+        tlen = np.asarray(pc.utf8_length(trimmed), dtype=np.int64)
+        sep_runs = np.asarray(
+            pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE), dtype=np.int64
+        )
+        sep_chars = np.asarray(
+            pc.count_substring_regex(trimmed, "[ \t\n\r]"), dtype=np.int64
+        )
+        n_tokens = np.where(tlen == 0, 0, sep_runs + 1)
+        sum_tok_len = tlen - sep_chars  # token chars = trimmed minus separators
+        alpha = np.asarray(pc.count_substring_regex(col, ALPHA_RE), dtype=np.int64)
+        punct = np.asarray(pc.count_substring_regex(col, PUNCT_RE), dtype=np.int64)
+        stop_hits = _token_match_counts(
+            pc.utf8_lower(trimmed), "[ \t\n\r]", self.stop_all
+        )
+        nt = n_tokens.astype(np.float64)
+        nf = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok = np.where(n_tokens > 0, sum_tok_len / nt, 0.0)
+            alpha_ratio = np.where(n > 0, alpha / nf, 0.0)
+            punct_ratio = np.where(n > 0, punct / nf, 0.0)
+            stop_ratio = np.where(n_tokens > 0, stop_hits / nt, 0.0)
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                "n_chars": pa.array(out["n_chars"], type=pa.int64()),
-                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
-                "mean_token_len": pa.array(out["mean_token_len"], type=pa.float64()),
-                "alpha_ratio": pa.array(out["alpha_ratio"], type=pa.float64()),
-                "punct_ratio": pa.array(out["punct_ratio"], type=pa.float64()),
-                "stopword_ratio": pa.array(out["stopword_ratio"], type=pa.float64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(n, type=pa.int64()),
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "mean_token_len": pa.array(mean_tok, type=pa.float64()),
+                "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+                "stopword_ratio": pa.array(stop_ratio, type=pa.float64()),
             }
         )
 

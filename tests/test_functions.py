@@ -156,9 +156,40 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             parse_png_header(bytes(bad))
 
-    def test_pixel_decode_is_marked_stub(self):
-        p = to_payload_table(docs_table())
-        with pytest.raises(NotImplementedError):
+    def test_pixel_decode_roundtrip(self):
+        """Real pixel path: deterministic pixels → filtered+zlib IDAT →
+        inflate + unfilter reproduces them exactly."""
+        import numpy as np
+
+        from pyppmd_ray.functions.multimodal import (
+            deterministic_pixels,
+            filter_scanlines,
+            make_png,
+            unfilter_scanlines,
+        )
+
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (4, 9), (23, 23)]:
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            assert (unfilter_scanlines(filter_scanlines(px), w, h) == px).all()
+        p = to_payload_table(docs_table(), pixels=True)
+        md = MediaDecoder(decode_pixels=True)
+        out = md(p)
+        texts = docs_table()["text"].to_pylist()
+        for i in range(out.num_rows):
+            n = len(texts[i])
+            w, h = 8 + n % 16, 8 + (3 * n) % 16
+            assert out["width"][i].as_py() == w and out["height"][i].as_py() == h
+            exp = deterministic_pixels(w, h, n)
+            assert out["px_sum"][i].as_py() == int(exp.astype(np.int64).sum())
+        # individual image decode: bit-exact pixels
+        px = deterministic_pixels(10, 12, 5)
+        img = make_png(10, 12, b"x", px)
+        assert (md.decode_image(img) == px).all()
+
+    def test_pixel_decode_rejects_no_idat(self):
+        p = to_payload_table(docs_table())  # header-only containers
+        with pytest.raises(ValueError):
             MediaDecoder(decode_pixels=True)(p)
 
     def test_frame_sample_plan(self):
