@@ -171,6 +171,28 @@ def _q_asof_events_orders(sf_dir: str):
     )
 
 
+def _q_asof_salted(sf_dir: str):
+    """Same as-of join through the hot-key salted path (salt_shards=8):
+    group key = (key, time shard), boundary rows replicated — results
+    identical to the unsalted path, same SQL oracle."""
+    from pyppmd_ray.functions.relational import asof_join
+
+    out = asof_join(
+        _ds(sf_dir, "events"),
+        _ds(sf_dir, "orders"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        right_id="o_orderkey",
+        salt_shards=8,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "o_orderkey"]), batch_format="pyarrow"
+    )
+
+
 def _q_roundtrip_projected(sf_dir: str):
     """Column-projection decode: only (doc_id, text) blobs are decoded;
     the lang/source/n_chars blobs are skipped via the per-column framing
@@ -507,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "events_windowed": _q_events_windowed,
         "asof_events_orders": _q_asof_events_orders,
+        "asof_events_orders_salted": _q_asof_salted,
         "prepare_corpus": _q_prepare_corpus,
         # multimodal plumbing + real pixel decode
         "multimodal_meta": _q_multimodal,
@@ -926,6 +949,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
             "FROM events GROUP BY event_type, window_start"
+        ),
+        "asof_events_orders_salted": (
+            "SELECT e.event_id, "
+            "(SELECT o.o_orderkey FROM orders o "
+            " WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            " ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
+            "FROM events e"
         ),
         "asof_events_orders": (
             "SELECT e.event_id, "

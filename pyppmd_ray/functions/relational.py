@@ -12,8 +12,9 @@ and document the partitioning assumption each relies on.
   right_ts <= left_ts within the same key. Shape: tag + union + one
   hash-partitioned groupby(key) + a vectorized per-group merge
   (searchsorted). Partitioning assumption: one KEY's rows fit in a
-  worker (keys here are users/customers — bounded); hot keys are salted
-  automatically when a group would exceed ``salt_rows``.
+  worker (keys here are users/customers — bounded); ``salt_shards=S``
+  opts into time-range salting for hot keys (group key becomes
+  (key, shard); only per-shard boundary rows are replicated).
 - :func:`hash_join` — general equi-join (inner/left). Two shapes:
   ``broadcast=True`` ships the (small) right side once via the object
   store and each left batch joins locally with an Arrow hash join — zero
@@ -93,6 +94,7 @@ def asof_join(
     right_ts: str,
     left_id: str,
     right_id: str,
+    salt_shards: int | None = None,
 ) -> rd.Dataset:
     """As-of join: for each left row, the right row of the same key with
     the greatest ``right_ts`` <= ``left_ts`` (ties on ts broken by max
@@ -101,7 +103,16 @@ def asof_join(
     Dataflow: both sides project to a common (key, t, id, side) schema,
     union (no shuffle), then ONE hash-partitioned groupby(key) where each
     group runs a vectorized sorted-merge (np.searchsorted) — the classic
-    union-repartition-merge as-of shape."""
+    union-repartition-merge as-of shape.
+
+    ``salt_shards=S``: hot-key remedy — the group key becomes
+    (key, time_shard) with S equal-width shards over the LEFT ts range,
+    so one key's rows split across S workers. Correctness is preserved by
+    replicating only per-(key, shard) BOUNDARY rows: the right side is
+    first reduced to its latest (t, id) per (key, shard) (a tiny
+    pre-aggregate), then each later shard receives the prefix-latest row
+    — ≤ S extra rows per key, never the key's history. Results are
+    identical to the unsalted path."""
 
     def tag(side: int, key: str, ts: str, idc: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -122,9 +133,8 @@ def asof_join(
 
         return fn
 
-    unioned = left.map_batches(tag(0, left_key, left_ts, left_id), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_key, right_ts, right_id), batch_format="pyarrow")
-    )
+    lt_ds = left.map_batches(tag(0, left_key, left_ts, left_id), batch_format="pyarrow")
+    rt_ds = right.map_batches(tag(1, right_key, right_ts, right_id), batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
         side = np.asarray(group["side"].to_pylist(), dtype=np.int8)
@@ -149,7 +159,83 @@ def asof_join(
             }
         )
 
-    return unioned.groupby("k").map_groups(merge, batch_format="pyarrow")
+    if not salt_shards:
+        return lt_ds.union(rt_ds).groupby("k").map_groups(merge, batch_format="pyarrow")
+
+    # ---- salted path: (k, shard) group key + boundary-row replication
+    S = int(salt_shards)
+    from ray.data.aggregate import Max, Min
+
+    rng = lt_ds.aggregate(Min("t", alias_name="tmin"), Max("t", alias_name="tmax"))
+    tmin, tmax = int(rng["tmin"]), int(rng["tmax"])
+    width = max(1, (tmax - tmin) // S + 1)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        # right rows outside the left range clip into the edge shards;
+        # eligibility (rt <= lt) is still enforced by the merge
+        sh = np.clip((t - tmin) // width, 0, S - 1).astype(np.int32)
+        return batch.append_column("shard", pa.array(sh, type=pa.int32()))
+
+    lt_s = lt_ds.map_batches(add_shard, batch_format="pyarrow")
+    rt_s = rt_ds.map_batches(add_shard, batch_format="pyarrow")
+
+    def latest_per_shard(group: pa.Table) -> pa.Table:
+        t = group["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        rid = group["rid"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((rid, t))[-1])  # max (t, rid)
+        return group.take([i]).select(["k", "shard", "t", "rid"])
+
+    latest = rt_s.groupby(["k", "shard"]).map_groups(
+        latest_per_shard, batch_format="pyarrow"
+    )
+
+    _UNION_SCHEMA = ["k", "t", "rid", "side", "shard"]
+
+    def fill_boundaries(group: pa.Table) -> pa.Table:
+        """One key's per-shard latest rows → prefix-latest boundary row
+        for every LATER shard (≤ S-1 rows per key)."""
+        sh = group["shard"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = group["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        rid = group["rid"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = group["k"][0].as_py()
+        order = np.argsort(sh)
+        sh, t, rid = sh[order], t[order], rid[order]
+        out_t, out_rid, out_sh = [], [], []
+        best: tuple[int, int] | None = None
+        ptr = 0
+        for target in range(1, S):
+            while ptr < sh.size and sh[ptr] < target:
+                cand = (int(t[ptr]), int(rid[ptr]))
+                if best is None or cand > best:
+                    best = cand
+                ptr += 1
+            if best is not None:
+                out_t.append(best[0])
+                out_rid.append(best[1])
+                out_sh.append(target)
+        n = len(out_t)
+        return pa.table(
+            {
+                "k": pa.array([k] * n, type=pa.int64()),
+                "t": pa.array(out_t, type=pa.int64()),
+                "rid": pa.array(out_rid, type=pa.int64()),
+                "side": pa.array([1] * n, type=pa.int8()),
+                "shard": pa.array(out_sh, type=pa.int32()),
+            }
+        )
+
+    boundary = latest.groupby("k").map_groups(fill_boundaries, batch_format="pyarrow")
+
+    def reorder(batch: pa.Table) -> pa.Table:
+        return batch.select(_UNION_SCHEMA)
+
+    unioned = (
+        lt_s.map_batches(reorder, batch_format="pyarrow")
+        .union(rt_s.map_batches(reorder, batch_format="pyarrow"))
+        .union(boundary.map_batches(reorder, batch_format="pyarrow"))
+    )
+    return unioned.groupby(["k", "shard"]).map_groups(merge, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- equi-join

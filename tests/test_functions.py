@@ -382,3 +382,107 @@ class TestRelational:
         # lid 10 @t=100: ties at t=100 → max rid (9); lid 11 @t=5: nothing ≤ 5;
         # lid 12 @t=50: only t=10? no — k=2 has t=60 > 50 → null; lid 13: no k=3 rows
         assert got == {10: 9, 11: None, 12: None, 13: None}
+
+    def test_asof_join_salted_matches_unsalted_hot_key(self):
+        """One key holds 50% of rows; time-range salting must produce
+        identical results to the unsalted path (boundary-row replication
+        preserves the as-of semantics exactly)."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import asof_join
+
+        rng = np.random.default_rng(11)
+        n, m = 2000, 800
+        lkeys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 20, n))
+        left = pa.table(
+            {
+                "k": pa.array(lkeys, type=pa.int64()),
+                "t": pa.array(rng.integers(0, 10**6, n), type=pa.int64()),
+                "lid": pa.array(np.arange(n), type=pa.int64()),
+            }
+        )
+        rkeys = np.where(rng.random(m) < 0.5, 7, rng.integers(0, 20, m))
+        right = pa.table(
+            {
+                "k": pa.array(rkeys, type=pa.int64()),
+                "t": pa.array(rng.integers(0, 10**6, m), type=pa.int64()),
+                "rid": pa.array(np.arange(m), type=pa.int64()),
+            }
+        )
+        kw = dict(
+            left_key="k", right_key="k", left_ts="t", right_ts="t",
+            left_id="lid", right_id="rid",
+        )
+        base = (
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), **kw)
+            .to_pandas().sort_values("left_id").reset_index(drop=True)
+        )
+        for shards in (2, 8, 64):
+            salted = (
+                asof_join(
+                    rd.from_arrow(left), rd.from_arrow(right), **kw,
+                    salt_shards=shards,
+                )
+                .to_pandas().sort_values("left_id").reset_index(drop=True)
+            )
+            assert salted.equals(base), f"salt_shards={shards} diverged"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfTraining:
+    def _corpus(self, n=600, d=16, n_clusters=6, seed=5):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_clusters, d)) * 4
+        assign = rng.integers(0, n_clusters, n)
+        m = centers[assign] + rng.normal(size=(n, d)) * 0.4
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64())),
+            }
+        ), m
+
+    def test_no_global_sort_in_seeding(self):
+        """Seeding must come from per-block bottom-k, not sort().limit()."""
+        import inspect
+
+        from pyppmd_ray.functions import ann
+
+        src = inspect.getsource(ann.ivf_topk) + inspect.getsource(
+            ann._seed_centroid_table
+        )
+        assert ".sort(" not in src
+
+    def test_trained_centroids_beat_seeded_recall(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.ann import brute_force_topk, ivf_topk
+
+        tbl, m = self._corpus()
+        ds = rd.from_arrow(tbl)
+        queries = m[:8]
+        k = 10
+        truth = brute_force_topk(ds, queries, k=k)
+
+        def recall(res):
+            tot, hit = 0, 0
+            for qi in range(8):
+                want = {
+                    v for q, v in zip(truth["q"].to_pylist(), truth["vec_id"].to_pylist())
+                    if q == qi
+                }
+                got = {
+                    v for q, v in zip(res["q"].to_pylist(), res["vec_id"].to_pylist())
+                    if q == qi
+                }
+                tot += len(want)
+                hit += len(want & got)
+            return hit / tot
+
+        seeded = ivf_topk(ds, queries, k=k, n_centroids=6, nprobe=2)
+        trained = ivf_topk(ds, queries, k=k, n_centroids=6, nprobe=2, train=True)
+        r_seed, r_train = recall(seeded), recall(trained)
+        # k-means centroids must not hurt, and on this clustered corpus
+        # should improve recall over the arbitrary lowest-id seeds
+        assert r_train >= r_seed, (r_train, r_seed)
+        assert r_train >= 0.9, r_train
