@@ -111,6 +111,16 @@ def _run_bench() -> dict:
     extra["decode_source_MBps"] = round(bytes_in / 1e6 / t_dec, 1)
     assert n_rows == BENCH_ROWS, f"decode rows {n_rows} != {BENCH_ROWS}"
 
+    if not os.environ.get("GRAFT_BENCH_CORE"):
+        # ---- column-projection decode: only (path) is decoded; cost must
+        # track SELECTED bytes, not total bytes (content dominates) ----
+        t0 = time.monotonic()
+        n_rows_p = decode_dataset(enc, columns=["path"]).count()
+        t_proj = time.monotonic() - t0
+        queries["decode_source_projected"] = round(t_proj, 3)
+        assert n_rows_p == BENCH_ROWS
+        extra["decode_projected_speedup"] = round(t_dec / t_proj, 2)
+
     # ---- lightweight path: selector pinned to rans0 (speed headline) ----
     hints = {
         "content": {"layout": "strs", "data_codec": "rans0"},

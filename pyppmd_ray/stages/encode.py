@@ -26,6 +26,24 @@ from .blocks import BLOCK_SCHEMA, decode_block, encode_block, split_by_bytes
 DEFAULT_BLOCK_BYTES = 16 << 20
 
 
+def _payload_views(col) -> list[memoryview]:
+    """Zero-copy views into a (large_)binary column's value buffer —
+    ``scalar.as_py()`` would copy every multi-hundred-KB payload before
+    decode; these views read the Arrow buffer in place."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if not (pa.types.is_large_binary(t) or pa.types.is_binary(t)):
+        return [memoryview(col[i].as_py()) for i in range(len(col))]
+    import numpy as np
+
+    bufs = col.buffers()
+    dt = np.int64 if pa.types.is_large_binary(t) else np.int32
+    off = np.frombuffer(bufs[1], dtype=dt)[col.offset : col.offset + len(col) + 1]
+    mv = memoryview(bufs[2])
+    return [mv[off[i] : off[i + 1]] for i in range(len(col))]
+
+
 def encode_batches(
     batch: pa.Table,
     *,
@@ -70,8 +88,9 @@ def decode_batches(
     21-23`, which kills the whole decode)."""
     from ..codecs.base import CodecError
 
+    payloads = _payload_views(batch["payload"])
     for i in range(batch.num_rows):
-        payload = batch["payload"][i].as_py()
+        payload = payloads[i]
         try:
             yield decode_block(payload, columns=columns)
         except (CodecError, ValueError, KeyError, IndexError) as e:
