@@ -4,7 +4,11 @@ Commands (each owns its Ray session; `ray job submit` compatible):
 
   encode  INPUT OUT_DIR [--columns a,b] [--block-bytes N] [--no-resume]
           resumable distributed encode of a parquet table/dir
-  decode  OUT_DIR DEST [--quarantine]  decode blocks back to parquet rows
+  decode  OUT_DIR DEST [--quarantine] [--columns a,b]
+          decode blocks back to parquet rows; --columns decodes only the
+          requested per-column blobs (projection pushdown into the codec)
+  join    LEFT RIGHT DEST --on K [--right-on K2] [--how inner|left]
+          [--broadcast]  general equi-join of two parquet tables
   verify  INPUT OUT_DIR  per-row sha256 + column-hash verification
   ingest  SRC_DIR DEST   directory of source files → north-rule parquet
   stats   OUT_DIR        per-unit lineage/metrics summary from manifests
@@ -54,6 +58,18 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("dest")
     d.add_argument("--quarantine", action="store_true",
                    help="skip corrupt blocks; park them under out_dir/_quarantine")
+    d.add_argument("--columns", default=None,
+                   help="decode only these columns (comma-separated)")
+
+    j = sub.add_parser("join")
+    j.add_argument("left")
+    j.add_argument("right")
+    j.add_argument("dest")
+    j.add_argument("--on", required=True)
+    j.add_argument("--right-on", default=None)
+    j.add_argument("--how", choices=("inner", "left"), default="inner")
+    j.add_argument("--broadcast", action="store_true",
+                   help="broadcast the right side (dimension-table shape)")
 
     v = sub.add_parser("verify")
     v.add_argument("input")
@@ -120,8 +136,26 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from pyppmd_ray.pipelines import run_decode_job
 
-            run_decode_job(args.out_dir, quarantine=args.quarantine).write_parquet(args.dest)
+            cols = args.columns.split(",") if args.columns else None
+            run_decode_job(
+                args.out_dir, quarantine=args.quarantine, columns=cols
+            ).write_parquet(args.dest)
             print(json.dumps({"dest": args.dest, "status": "done"}))
+        elif args.cmd == "join":
+            import ray.data as rd
+
+            from pyppmd_ray.functions.relational import hash_join
+
+            out_ds = hash_join(
+                rd.read_parquet(args.left),
+                rd.read_parquet(args.right),
+                on=args.on,
+                right_on=args.right_on,
+                how=args.how,
+                broadcast=args.broadcast,
+            ).materialize()
+            out_ds.write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest, "rows": out_ds.count()}))
         elif args.cmd == "verify":
             from pyppmd_ray.pipelines import run_verify_job
 
