@@ -40,6 +40,17 @@ _M61 = (1 << 61) - 1
 TOKEN_RE = re.compile(r"[^ \t\n\r]+")
 
 
+def _mod_m61(y: np.ndarray) -> np.ndarray:
+    """y % (2^61 - 1) for u64 arrays via Mersenne folding (y ≡ (y>>61) +
+    (y&M61)) — exact for all y < 2^64 and ~10× faster than hardware '%'.
+    Two folds bring y into [0, M61]; one conditional subtract finishes."""
+    m = np.uint64(_M61)
+    s = np.uint64(61)
+    r = (y >> s) + (y & m)
+    r = (r >> s) + (r & m)
+    return np.where(r >= m, r - m, r)
+
+
 def _sha_prefix_u64(s: str, nbytes: int = 8) -> int:
     """First ``nbytes`` of sha256(utf8), big-endian — matches the oracle's
     ('0x' || substr(sha256(s), 1, 2*nbytes))::UBIGINT."""
@@ -102,6 +113,18 @@ class MinHasher:
             return {" ".join(toks)} if toks else set()
         return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
+    def _hash_shingles(self, sh) -> list[int]:
+        cache = self._cache
+        out = []
+        for s in sh:
+            v = cache.get(s)
+            if v is None:
+                v = _sha_prefix_u64(s, 4)
+                if len(cache) < self._MAX_CACHE:
+                    cache[s] = v
+            out.append(v)
+        return out
+
     def signature(self, text: str) -> np.ndarray | None:
         """None when the doc has no shingles (empty/whitespace-only) — such
         docs take part in no buckets (mirrors the SQL oracle, where they
@@ -109,29 +132,40 @@ class MinHasher:
         sh = self._shingles(text)
         if not sh:
             return None
-        cache = self._cache
-        vals = []
-        for s in sh:
-            v = cache.get(s)
-            if v is None:
-                v = _sha_prefix_u64(s, 4)
-                if len(cache) < self._MAX_CACHE:
-                    cache[s] = v
-            vals.append(v)
-        h = np.array(vals, dtype=np.uint64)
-        # a*x + b < 2^63 + 2^61 — exact, then mod M61
-        vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_M61)
+        h = np.array(self._hash_shingles(sh), dtype=np.uint64)
+        # a*x + b < 2^63 + 2^61 — exact, then mod M61 (Mersenne fold)
+        vals = _mod_m61(h[None, :] * self.a[:, None] + self.b[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        """Batched signatures: shingle hashes for the WHOLE batch go
+        through one (num_hashes, total_shingles) vectorized pass +
+        ``np.minimum.reduceat`` per-doc segments — one numpy dispatch per
+        batch instead of one per document (same values as
+        :meth:`signature`; sha256 per distinct shingle is amortized by the
+        per-actor cache)."""
+        texts = batch["text"].to_pylist()
+        flat: list[int] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = self._shingles(t or "")
+            counts[i] = len(sh)
+            if sh:
+                flat.extend(self._hash_shingles(sh))
+        sig_col: list = [None] * len(texts)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            h = np.array(flat, dtype=np.uint64)
+            vals = _mod_m61(h[None, :] * self.a[:, None] + self.b[:, None])
+            starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            sigs = np.minimum.reduceat(vals, starts, axis=1)  # (num_hashes, n_nz)
+            sigs = sigs.astype(np.int64).T
+            for j, i in enumerate(nz):
+                sig_col[int(i)] = sigs[j].tolist()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array(
-                    [None if s is None else s.astype(np.int64).tolist() for s in sigs],
-                    type=pa.list_(pa.int64()),
-                ),
+                "sig": pa.array(sig_col, type=pa.list_(pa.int64())),
             }
         )
 
@@ -269,36 +303,46 @@ class SimHasher:
     """63-bit SimHash over distinct word features (Charikar 2002).
     Word hash = first 8 bytes of sha256 (big-endian); bit j of the sketch
     is sign(sum over words of ±1 by bit j of the word hash), j in 0..62.
-    Per-actor token→±1-vector cache (hot words hash once per worker)."""
+    Per-actor word→u64-hash cache (hot words hash once per worker).
+
+    Batched: the whole batch's word hashes expand to one (total, 63)
+    ±1 matrix, per-doc sums via ``np.add.reduceat`` — one numpy dispatch
+    per batch instead of one per word."""
 
     _MAX_CACHE = 1 << 20
 
     def __init__(self):
-        self._cache: dict[str, np.ndarray] = {}
+        self._cache: dict[str, int] = {}
         self._shifts = np.arange(63, dtype=np.uint64)
 
-    def _tokvec(self, w: str) -> np.ndarray:
+    def _hash_word(self, w: str) -> int:
         v = self._cache.get(w)
         if v is None:
-            h = np.uint64(_sha_prefix_u64(w, 8))
-            bits = (h >> self._shifts) & np.uint64(1)
-            v = np.where(bits.astype(bool), np.int32(1), np.int32(-1))
+            v = _sha_prefix_u64(w, 8)
             if len(self._cache) < self._MAX_CACHE:
                 self._cache[w] = v
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        weights = (np.uint64(1) << self._shifts).astype(np.uint64)
-        for t in batch["text"].to_pylist():
+        texts = batch["text"].to_pylist()
+        flat: list[int] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
             toks = set(TOKEN_RE.findall(t or ""))
-            if not toks:
-                out.append(0)
-                continue
-            acc = np.zeros(63, dtype=np.int64)
+            counts[i] = len(toks)
             for w in toks:
-                acc += self._tokvec(w)
-            out.append(int(((acc > 0).astype(np.uint64) * weights).sum()))
+                flat.append(self._hash_word(w))
+        out = np.zeros(len(texts), dtype=np.int64)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            h = np.array(flat, dtype=np.uint64)
+            bits = ((h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(bool)
+            pm = np.where(bits, np.int32(1), np.int32(-1))  # (total, 63)
+            starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            acc = np.add.reduceat(pm, starts, axis=0)  # (n_nz, 63)
+            weights = (np.uint64(1) << self._shifts).astype(np.uint64)
+            vals = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+            out[nz] = vals.astype(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.int64())}
         )
