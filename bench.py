@@ -32,6 +32,31 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "120000"))
 BLOCK_BYTES = 4 << 20
+# pinned read fan-out for the source fixture: Ray otherwise derives read
+# parallelism from the CPU count, giving DIFFERENT input-bundle (and thus
+# encode-block) structure per scaling level — more partial batches → more
+# small blocks → worse ratio AND slower encode at higher cpu counts, which
+# poisons cross-level efficiency comparisons (observed: ratio 13.35 at 2
+# cpus vs 12.22 at 8 on identical input). 64 bundles ≈ 20 MB each at the
+# 480k-row scaling fixture — enough tasks for every level tested.
+SRC_BLOCKS = int(os.environ.get("GRAFT_BENCH_BLOCKS", "64"))
+# repetitions for the timed core stages (min is reported): single runs on
+# this shared sandbox vary ±30-40%; the scaling protocol sets 2 so the
+# cross-level efficiency ratios compare best-case against best-case
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
+
+
+def _timed(fn, reps: int = None):
+    """Run fn() `reps` times; return (best wall seconds, last result)."""
+    reps = reps or BENCH_REPS
+    best, result = float("inf"), None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        result = fn()
+        dt = time.monotonic() - t0
+        if dt < best:
+            best = dt
+    return best, result
 
 
 def _run_bench() -> dict:
@@ -74,7 +99,7 @@ def _run_bench() -> dict:
 
     # warm Ray's worker processes (imports happen once per worker; the
     # task-based stages then run on hot workers, like a long-lived job)
-    rd.read_parquet(src_path).limit(512).map_batches(
+    rd.read_parquet(src_path, override_num_blocks=SRC_BLOCKS).limit(512).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).materialize()
 
@@ -83,17 +108,17 @@ def _run_bench() -> dict:
     # at scale) — timed separately so the encode number is steady-state
     t0 = time.monotonic()
     auto_hints, batch_rows = plan_dataset_hints(
-        rd.read_parquet(src_path), target_block_bytes=BLOCK_BYTES
+        rd.read_parquet(src_path, override_num_blocks=SRC_BLOCKS), target_block_bytes=BLOCK_BYTES
     )
     extra["plan_s"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    enc = encode_dataset(
-        rd.read_parquet(src_path),
-        target_block_bytes=BLOCK_BYTES,
-        hints=auto_hints,
-        batch_rows=batch_rows,
-    ).materialize()
-    t_enc = time.monotonic() - t0
+    t_enc, enc = _timed(
+        lambda: encode_dataset(
+            rd.read_parquet(src_path, override_num_blocks=SRC_BLOCKS),
+            target_block_bytes=BLOCK_BYTES,
+            hints=auto_hints,
+            batch_rows=batch_rows,
+        ).materialize()
+    )
     stats = enc.to_pandas()
     bytes_in = int(stats["uncompressed_bytes"].sum())
     bytes_out = int(stats["encoded_bytes"].sum())
@@ -103,10 +128,7 @@ def _run_bench() -> dict:
     extra["source_bytes_in"] = bytes_in
 
     # ---- decode + spot sha verify ----
-    t0 = time.monotonic()
-    dec = decode_dataset(enc)
-    n_rows = dec.count()
-    t_dec = time.monotonic() - t0
+    t_dec, n_rows = _timed(lambda: decode_dataset(enc).count())
     queries["decode_source"] = round(t_dec, 3)
     extra["decode_source_MBps"] = round(bytes_in / 1e6 / t_dec, 1)
     assert n_rows == BENCH_ROWS, f"decode rows {n_rows} != {BENCH_ROWS}"
@@ -129,14 +151,14 @@ def _run_bench() -> dict:
         "lang": {"layout": "sdict", "data_codec": "raw"},
         "commit": {"layout": "sdict", "data_codec": "raw"},
     }
-    t0 = time.monotonic()
-    enc_fast = encode_dataset(
-        rd.read_parquet(src_path),
-        target_block_bytes=BLOCK_BYTES,
-        hints=hints,
-        batch_rows=batch_rows,
-    ).materialize()
-    t_fast = time.monotonic() - t0
+    t_fast, enc_fast = _timed(
+        lambda: encode_dataset(
+            rd.read_parquet(src_path, override_num_blocks=SRC_BLOCKS),
+            target_block_bytes=BLOCK_BYTES,
+            hints=hints,
+            batch_rows=batch_rows,
+        ).materialize()
+    )
     stats_f = enc_fast.to_pandas()
     queries["encode_source_fast"] = round(t_fast, 3)
     extra["encode_fast_MBps"] = round(bytes_in / 1e6 / t_fast, 1)
@@ -239,6 +261,7 @@ def _run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ROWS=scale_rows,
             GRAFT_BENCH_CORE="1",
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
             PYTHONPATH=REPO,
         )
         out = subprocess.run(
