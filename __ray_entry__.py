@@ -153,6 +153,24 @@ def _q_events_windowed(sf_dir: str):
     return windowed_agg(_ds(sf_dir, "events"), width_s=3600)
 
 
+def _q_events_windowed_sliding(sf_dir: str):
+    """Hopping windows (width 1h, hop 15min): each event lands in 4
+    windows via a per-batch explode (no extra shuffle vs tumbling)."""
+    from pyppmd_ray.functions.relational import windowed_agg
+
+    return windowed_agg(_ds(sf_dir, "events"), width_s=3600, hop_s=900)
+
+
+def _q_events_windowed_watermark(sf_dir: str):
+    """Tumbling windows with watermark semantics: events older than
+    (max event time − 7 days) are late and dropped before windowing."""
+    from pyppmd_ray.functions.relational import windowed_agg
+
+    return windowed_agg(
+        _ds(sf_dir, "events"), width_s=3600, watermark_s=7 * 86400
+    )
+
+
 def _q_asof_events_orders(sf_dir: str):
     from pyppmd_ray.functions.relational import asof_join
 
@@ -528,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "events_windowed": _q_events_windowed,
+        "events_windowed_sliding": _q_events_windowed_sliding,
+        "events_windowed_watermark": _q_events_windowed_watermark,
         "asof_events_orders": _q_asof_events_orders,
         "asof_events_orders_salted": _q_asof_salted,
         "prepare_corpus": _q_prepare_corpus,
@@ -949,6 +969,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
             "FROM events GROUP BY event_type, window_start"
+        ),
+        "events_windowed_sliding": (
+            # width 3600s, hop 900s: event joins starts {base - i*hop}
+            # while start + width > t (ceil(width/hop) = 4 candidates)
+            "SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 900000000 - i) * 900000000) AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
+            "FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) ii "
+            "WHERE (epoch_us(ts) // 900000000 - i) * 900000000 + 3600000000 > epoch_us(ts) "
+            "GROUP BY event_type, window_start"
+        ),
+        "events_windowed_watermark": (
+            "WITH wm AS (SELECT max(epoch_us(ts)) - 604800000000 AS w FROM events) "
+            "SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents "
+            "FROM events, wm WHERE epoch_us(ts) >= wm.w "
+            "GROUP BY event_type, window_start"
         ),
         "asof_events_orders_salted": (
             "SELECT e.event_id, "

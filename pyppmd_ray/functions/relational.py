@@ -42,27 +42,84 @@ def windowed_agg(
     value_col: str = "value",
     keys: tuple[str, ...] = ("event_type",),
     width_s: int = 3600,
+    hop_s: int | None = None,
+    watermark_s: int | None = None,
 ) -> rd.Dataset:
-    """Tumbling windows of ``width_s`` seconds → per (keys, window_start):
-    n_events + total value in integer cents (float sums are
-    order-dependent; cents are exact and SQL-reproducible)."""
-    from ray.data.aggregate import Count, Sum
+    """Windowed aggregate → per (keys, window_start): n_events + total
+    value in integer cents (float sums are order-dependent; cents are
+    exact and SQL-reproducible).
+
+    ``hop_s`` (default = ``width_s`` → tumbling): hopping/sliding
+    windows — each event lands in ceil(width/hop) windows; the explode is
+    a pure per-batch projection (replication factor is the bounded
+    width/hop ratio), then the SAME single pre-aggregated groupby — no
+    extra shuffle vs tumbling.
+
+    ``watermark_s``: batch-engine watermark semantics — events older than
+    (max event time − watermark_s) are LATE and dropped before
+    windowing, mirroring a streaming job that closes windows once the
+    watermark passes them. The max is one streamed aggregate (a scalar on
+    the driver), broadcast into the filter."""
+    from ray.data.aggregate import Count, Max, Sum
 
     width_us = int(width_s) * 1_000_000
+    hop_us = int(hop_s or width_s) * 1_000_000
+    n_windows = -(-width_us // hop_us)  # ceil: replication factor
+
+    def _epoch(batch: pa.Table) -> pa.Array:
+        tcol = batch[ts_col]
+        if not pa.types.is_timestamp(tcol.type) or tcol.type.unit != "us":
+            tcol = pc.cast(tcol, pa.timestamp("us"))
+        return pc.cast(tcol, pa.int64())
+
+    wm_us = None
+    if watermark_s is not None:
+        def local_max(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"t": pa.array([], type=pa.int64())})
+            return pa.table(
+                {"t": pa.array([pc.max(_epoch(batch)).as_py()], type=pa.int64())}
+            )
+
+        mx = ds.map_batches(local_max, batch_format="pyarrow").aggregate(
+            Max("t", alias_name="t")
+        )
+        wm_us = int(mx["t"]) - int(watermark_s) * 1_000_000
 
     def add_window(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch[ts_col], pa.int64())
-        # floor division (epochs here are positive; pc.divide truncates,
-        # which equals floor for non-negative values)
-        w = pc.multiply(pc.divide(epoch, width_us), width_us)
+        t = _epoch(batch).to_numpy(zero_copy_only=False)
+        if wm_us is not None:
+            keep = t >= wm_us
+            batch = batch.filter(pa.array(keep))
+            t = t[keep]
+        # floor division (epochs here are positive)
+        base = (t // hop_us) * hop_us
         # floor(x*100 + 0.5), NOT round(): pc.round is half-to-even while
         # SQL round() is half-away — floor(+0.5) is bit-identical on both
         cents = pc.cast(
             pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)), pa.int64()
         )
-        return batch.append_column(
-            "window_start", pc.cast(w, batch[ts_col].type)
-        ).append_column("value_cents", cents)
+        if n_windows == 1:
+            out = batch.append_column(
+                "window_start",
+                pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
+            )
+            return out.append_column("value_cents", cents)
+        # hopping: event at t belongs to starts {base - i*hop | i<R,
+        # start + width > t}; build the exploded index once per batch
+        idx_parts, start_parts = [], []
+        rows = np.arange(t.size)
+        for i in range(n_windows):
+            s = base - i * hop_us
+            valid = s + width_us > t
+            idx_parts.append(rows[valid])
+            start_parts.append(s[valid])
+        idx = np.concatenate(idx_parts) if idx_parts else rows[:0]
+        starts = np.concatenate(start_parts) if start_parts else base[:0]
+        out = batch.append_column("value_cents", cents).take(pa.array(idx))
+        return out.append_column(
+            "window_start", pa.array(starts, type=pa.int64()).cast(pa.timestamp("us"))
+        )
 
     agg = (
         ds.map_batches(add_window, batch_format="pyarrow")

@@ -352,6 +352,33 @@ class TestRelational:
         assert out["total_value_cents"].to_pylist() == [200] * 4
         assert out["window_start"].type == pa.timestamp("us")
 
+    def test_windowed_agg_sliding_and_watermark(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import windowed_agg
+
+        # events at t = 0..7 half-hours over 4 hours, value 1.0 each
+        ts = [i * 1800 * 1_000_000 for i in range(8)]
+        t = pa.table(
+            {
+                "event_type": pa.array(["a"] * 8),
+                "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array([1.0] * 8),
+            }
+        )
+        # hop = width/2: every event lands in 2 windows
+        out = (
+            windowed_agg(rd.from_arrow(t), width_s=3600, hop_s=1800)
+            .to_pandas().sort_values("window_start").reset_index(drop=True)
+        )
+        assert int(out["n_events"].sum()) == 16  # 8 events × 2 windows
+        # watermark: drop events older than max_ts - 1.5h → keeps t in
+        # {2.0h, 2.5h, 3.0h, 3.5h} (4 events)
+        out_wm = windowed_agg(
+            rd.from_arrow(t), width_s=3600, watermark_s=5400
+        ).to_pandas()
+        assert int(out_wm["n_events"].sum()) == 4
+
     def test_asof_join_semantics(self):
         import ray.data as rd
 
