@@ -346,6 +346,7 @@ def hash_join(
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
     broadcast: bool = False,
+    salt: int | None = None,
 ) -> rd.Dataset:
     """General equi-join (the first relational op Ray Data itself lacks).
 
@@ -363,8 +364,13 @@ def hash_join(
     null-padded schema, union (no shuffle), then ONE hash-partitioned
     ``groupby(keys).map_groups`` builds the per-key cross product.
     All-to-all volume = both projected sides, paid once. Partitioning
-    assumption: one key's rows from both sides fit in a worker (salt the
-    key upstream if a single key dominates)."""
+    assumption: one key's rows from both sides fit in a worker.
+
+    ``salt=R`` (shuffle path): skew remedy — left rows spread across R
+    sub-groups per key (deterministic row-position salt), right rows
+    replicated into all R. One hot key then occupies R workers instead of
+    one, at the cost of R× the RIGHT side's shuffle volume (use when the
+    hot key's left side dominates). Results identical to unsalted."""
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
     if how not in ("inner", "left"):
@@ -403,6 +409,8 @@ def hash_join(
     )
     out_schema = pa.schema(out_fields)
 
+    R = int(salt) if salt and salt > 1 else 1
+
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
@@ -415,7 +423,23 @@ def hash_join(
             for c, oc in rout:
                 cols[oc] = batch[c] if side == 1 else pa.nulls(n, type=rfield[c])
             cols["_side"] = pa.array(np.full(n, side, dtype=np.int8), type=pa.int8())
-            return pa.table(cols)
+            out = pa.table(cols)
+            if R == 1:
+                return out.append_column(
+                    "_salt", pa.array(np.zeros(n, dtype=np.int8), type=pa.int8())
+                )
+            if side == 0:
+                # left rows spread round-robin by in-batch position
+                return out.append_column(
+                    "_salt",
+                    pa.array((np.arange(n) % R).astype(np.int8), type=pa.int8()),
+                )
+            # right rows replicated into every salt bucket
+            idx = np.tile(np.arange(n), R)
+            salts = np.repeat(np.arange(R, dtype=np.int8), n)
+            return out.take(pa.array(idx)).append_column(
+                "_salt", pa.array(salts, type=pa.int8())
+            )
 
         return fn
 
@@ -443,4 +467,6 @@ def hash_join(
         cols.update({n: rt[n] for n in rout_names})
         return pa.table(cols).cast(out_schema)
 
-    return unioned.groupby(lkeys).map_groups(merge, batch_format="pyarrow")
+    return unioned.groupby(lkeys + ["_salt"]).map_groups(
+        merge, batch_format="pyarrow"
+    )

@@ -513,3 +513,103 @@ class TestIvfTraining:
         # should improve recall over the arbitrary lowest-id seeds
         assert r_train >= r_seed, (r_train, r_seed)
         assert r_train >= 0.9, r_train
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoin:
+    def _sides(self):
+        import ray.data as rd
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+        right = pa.table(
+            {
+                "k2": pa.array([1, 2, 2, 9], type=pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0]),  # name collision
+            }
+        )
+        return rd.from_arrow(left), rd.from_arrow(right)
+
+    def _rows(self, ds):
+        import pandas as pd
+
+        df = ds.to_pandas()
+        return sorted(
+            df.to_dict("records"),
+            key=lambda r: (r["k"], str(r["v"]), str(r.get("v_r"))),
+        )
+
+    def test_inner_and_collision_suffix(self):
+        from pyppmd_ray.functions.relational import hash_join
+
+        l, r = self._sides()
+        out = hash_join(l, r, on="k", right_on="k2", how="inner")
+        rows = self._rows(out)
+        assert [set(x.items()) for x in rows] == [
+            {("k", 1), ("v", "a"), ("v_r", 10.0)},
+            {("k", 1), ("v", "b"), ("v_r", 10.0)},
+            {("k", 2), ("v", "c"), ("v_r", 20.0)},
+            {("k", 2), ("v", "c"), ("v_r", 30.0)},
+        ]
+
+    def test_left_join_nulls(self):
+        import numpy as np
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        l, r = self._sides()
+        out = hash_join(l, r, on="k", right_on="k2", how="left")
+        df = out.to_pandas()
+        assert len(df) == 6  # 4 matches + keys 3, 4 unmatched
+        unmatched = df[df["v_r"].isna()]
+        assert sorted(unmatched["k"].tolist()) == [3, 4]
+
+    def test_salted_matches_unsalted_hot_key(self):
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        rng = np.random.default_rng(4)
+        n = 3000
+        keys = np.where(rng.random(n) < 0.6, 42, rng.integers(0, 30, n))
+        left = pa.table(
+            {
+                "k": pa.array(keys, type=pa.int64()),
+                "lid": pa.array(np.arange(n), type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([42, 42, 5, 7], type=pa.int64()),
+                "rid": pa.array([100, 101, 102, 103], type=pa.int64()),
+            }
+        )
+        for how in ("inner", "left"):
+            base = (
+                hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k", how=how)
+                .to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+            )
+            for s in (2, 7):
+                salted = (
+                    hash_join(
+                        rd.from_arrow(left), rd.from_arrow(right), on="k",
+                        how=how, salt=s,
+                    )
+                    .to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+                )
+                assert salted.equals(base), (how, s)
+
+    def test_broadcast_matches_shuffle(self):
+        from pyppmd_ray.functions.relational import hash_join
+
+        l, r = self._sides()
+        sh = self._rows(hash_join(l, r, on="k", right_on="k2", how="inner"))
+        bc = self._rows(
+            hash_join(l, r, on="k", right_on="k2", how="inner", broadcast=True)
+        )
+        assert sh == bc
