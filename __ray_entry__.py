@@ -280,19 +280,23 @@ def _q_lineitem_orders_join_bc(sf_dir: str):
     )
 
 
+def _query_vectors(ds, nq: int = 4):
+    """The ``nq`` lowest-vec_id embeddings as the query matrix — found via
+    per-block bottom-k + driver merge (k×num_blocks rows), NOT a driver
+    materialization of the corpus."""
+    from pyppmd_ray.functions.ann import _seed_centroid_table
+    from pyppmd_ray.functions.embeddings import embedding_matrix, int64_column
+
+    seed = _seed_centroid_table(ds, nq)
+    return int64_column(seed["vec_id"]), embedding_matrix(seed["embedding"])
+
+
 def _q_ann_topk(sf_dir: str):
     from pyppmd_ray.functions.ann import brute_force_topk
 
-    tbl = pa.concat_tables(
-        _ds(sf_dir, "embeddings").iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    ids = np.asarray(tbl["vec_id"].to_pylist())
-    order = np.argsort(ids)[:4]
-    qids = ids[order]  # q column = the query's own vec_id (matches oracle)
-    queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
-    import ray.data as rd
-
-    out = brute_force_topk(rd.from_arrow(tbl), queries, k=10)
+    ds = _ds(sf_dir, "embeddings")
+    qids, queries = _query_vectors(ds, 4)
+    out = brute_force_topk(ds, queries, k=10)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {
@@ -351,16 +355,9 @@ def _q_winnow(sf_dir: str):
 def _q_lsh_ann(sf_dir: str):
     from pyppmd_ray.functions.ann import lsh_topk
 
-    tbl = pa.concat_tables(
-        _ds(sf_dir, "embeddings").iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    ids = np.asarray(tbl["vec_id"].to_pylist())
-    order = np.argsort(ids)[:4]
-    qids = ids[order]
-    queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
-    import ray.data as rd
-
-    out = lsh_topk(rd.from_arrow(tbl), queries, k=10)
+    ds = _ds(sf_dir, "embeddings")
+    qids, queries = _query_vectors(ds, 4)
+    out = lsh_topk(ds, queries, k=10)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {
@@ -390,16 +387,9 @@ def _q_embedding_quantize(sf_dir: str):
 def _q_ivf_ann(sf_dir: str):
     from pyppmd_ray.functions.ann import ivf_topk
 
-    tbl = pa.concat_tables(
-        _ds(sf_dir, "embeddings").iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    ids = np.asarray(tbl["vec_id"].to_pylist())
-    order = np.argsort(ids)[:4]
-    qids = ids[order]
-    queries = np.array([tbl["embedding"][int(i)].as_py() for i in order], dtype=np.float64)
-    import ray.data as rd
-
-    out = ivf_topk(rd.from_arrow(tbl), queries, k=10, n_centroids=16, nprobe=4)
+    ds = _ds(sf_dir, "embeddings")
+    qids, queries = _query_vectors(ds, 4)
+    out = ivf_topk(ds, queries, k=10, n_centroids=16, nprobe=4)
     qcol = pa.array(qids[np.asarray(out["q"].to_pylist())], type=pa.int64())
     return pa.table(
         {

@@ -203,16 +203,13 @@ def _run_bench() -> dict:
     queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
     extra["minhash_pairs"] = int(n_pairs)
 
-    from pyppmd_ray.functions.ann import brute_force_topk
+    from pyppmd_ray.functions.ann import _seed_centroid_table, brute_force_topk
+    from pyppmd_ray.functions.embeddings import embedding_matrix
 
-    emb = pa.concat_tables(
-        rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    qv = np.array(emb["embedding"].to_pylist()[:16], dtype=np.float64)
+    emb_ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv = embedding_matrix(_seed_centroid_table(emb_ds, 16)["embedding"])
     t0 = time.monotonic()
-    brute_force_topk(rd.from_arrow(emb), qv, k=10)
+    brute_force_topk(emb_ds, qv, k=10)
     queries["ann_topk"] = round(time.monotonic() - t0, 3)
 
     from ray.data.aggregate import Count, Sum
