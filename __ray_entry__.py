@@ -171,6 +171,53 @@ def _q_events_windowed_watermark(sf_dir: str):
     )
 
 
+def _q_orders_semi(sf_dir: str):
+    """Semi-join: orders that have at least one lineitem (left rows only,
+    right value columns never shuffled)."""
+    from pyppmd_ray.functions.relational import hash_join
+
+    return hash_join(
+        _ds(sf_dir, "orders"),
+        _ds(sf_dir, "lineitem"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="semi",
+        left_columns=["o_custkey", "o_totalprice"],
+    )
+
+
+def _q_orders_anti(sf_dir: str):
+    """Anti-join: orders with NO lineitems (blocklist-filter shape)."""
+    from pyppmd_ray.functions.relational import hash_join
+
+    return hash_join(
+        _ds(sf_dir, "orders"),
+        _ds(sf_dir, "lineitem"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="anti",
+        left_columns=["o_custkey", "o_totalprice"],
+    )
+
+
+def _q_documents_sample(sf_dir: str):
+    """Deterministic hash sample (rate 0.25 keyed on doc_id): rerun- and
+    cluster-size-stable, no RNG state, SQL-reproducible."""
+    from pyppmd_ray.functions.sample import hash_sample
+
+    out = hash_sample(_ds(sf_dir, "documents"), 0.25, "doc_id")
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _q_orders_topk(sf_dir: str):
+    """Global top-10 orders by price — per-block local top-k + driver
+    merge, no global sort."""
+    from pyppmd_ray.functions.sample import topk
+
+    out = topk(_ds(sf_dir, "orders"), "o_totalprice", 10, tie_by="o_orderkey")
+    return out.select(["o_orderkey", "o_totalprice"])
+
+
 def _q_asof_events_orders(sf_dir: str):
     from pyppmd_ray.functions.relational import asof_join
 
@@ -535,6 +582,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
+        "orders_semi_lineitem": _q_orders_semi,
+        "orders_anti_lineitem": _q_orders_anti,
+        "documents_sample": _q_documents_sample,
+        "orders_topk_price": _q_orders_topk,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
         "events_windowed_watermark": _q_events_windowed_watermark,
@@ -937,6 +988,23 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_orders_join_bc": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "orders_semi_lineitem": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"
+        ),
+        "orders_anti_lineitem": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"
+        ),
+        "documents_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            "% 4294967296 < 1073741824"
+        ),
+        "orders_topk_price": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
         "prepare_corpus": (
             # dedup (min-id per text) → quality gate, mirroring the engine's

@@ -351,8 +351,11 @@ def hash_join(
     """General equi-join (the first relational op Ray Data itself lacks).
 
     Output schema: join keys (left names) + left value columns + right
-    value columns (suffixed ``_r`` on collision). ``how``: "inner" or
-    "left".
+    value columns (suffixed ``_r`` on collision). ``how``: "inner",
+    "left", "semi" (left rows WITH a match, each once, left columns
+    only), or "anti" (left rows WITHOUT a match — e.g. filtering a corpus
+    against a blocklist). Semi/anti never ship right value columns, so
+    their shuffle volume is left side + right keys only.
 
     ``broadcast=True`` — dimension-table shape: the right side is
     assembled IN a worker (``to_arrow_refs`` → remote concat; never on
@@ -373,8 +376,10 @@ def hash_join(
     hot key's left side dominates). Results identical to unsalted."""
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
     lschema = left.schema()
     rschema = right.schema()
     lval = left_columns if left_columns is not None else [
@@ -384,12 +389,19 @@ def hash_join(
         n for n in rschema.names if n not in rkeys
     ]
 
+    _JOIN_TYPE = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }
+    if how in ("semi", "anti"):
+        rval = []  # right value columns never appear in semi/anti output
+
     if broadcast:
         proj = right.select_columns(rkeys + rval)
         ref = _concat_remote.remote(*proj.to_arrow_refs())
-        joiner = _BroadcastJoiner(
-            ref, lkeys, rkeys, "inner" if how == "inner" else "left outer"
-        )
+        joiner = _BroadcastJoiner(ref, lkeys, rkeys, _JOIN_TYPE[how])
         lds = left.select_columns(lkeys + lval) if left_columns is not None else left
         return lds.map_batches(joiner, batch_format="pyarrow")
 
@@ -453,7 +465,14 @@ def hash_join(
         side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        if li.size == 0 or (ri.size == 0 and how == "inner"):
+        if li.size == 0:
+            return out_schema.empty_table()
+        if how in ("semi", "anti"):
+            want = (ri.size > 0) if how == "semi" else (ri.size == 0)
+            if not want:
+                return out_schema.empty_table()
+            return group.take(pa.array(li)).select(lout_names).cast(out_schema)
+        if ri.size == 0 and how == "inner":
             return out_schema.empty_table()
         if ri.size == 0:  # left join, no match: right cols stay null
             return group.take(pa.array(li)).select(

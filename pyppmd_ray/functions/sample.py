@@ -1,0 +1,92 @@
+"""Deterministic sampling and distributed top-k — the small utility
+operators the reference has no analogue for (SURVEY.md §2.6: "no sorts,
+no sampling") but every corpus pipeline needs.
+
+- :func:`hash_sample` — reproducible Bernoulli sample keyed on a column:
+  keep iff sha256(key-as-string) prefix mod DENOM < rate*DENOM. A pure
+  per-batch filter (no shuffle, no RNG state), identical across reruns
+  and cluster sizes, and SQL-reproducible (the oracle computes the same
+  sha256 prefix in DuckDB).
+- :func:`topk` — global top-k WITHOUT a global sort: each block emits its
+  local top-k (vectorized lexsort), the driver merges k×num_blocks rows.
+  Deterministic total order: (by desc|asc, tie_by asc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+SAMPLE_DENOM = 1 << 32
+
+
+def _key_u64(vals: list) -> np.ndarray:
+    """First 8 bytes of sha256(str(v)), big-endian — matches the oracle's
+    ('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16))::UBIGINT."""
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.sha256(str(v).encode("utf-8")).digest()[:8], "big"
+            )
+            for v in vals
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hash_sample(ds: rd.Dataset, rate: float, key_col: str) -> rd.Dataset:
+    """Keep each row iff sha256(str(key)) % 2^32 < rate * 2^32 — a
+    deterministic, rerun-stable, shuffle-free sample. Rows with equal
+    keys are kept or dropped together (useful for doc-level sampling)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = np.uint64(int(rate * SAMPLE_DENOM))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch[key_col].to_pylist()) % np.uint64(SAMPLE_DENOM)
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def topk(
+    ds: rd.Dataset,
+    by: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tie_by: str | None = None,
+) -> pa.Table:
+    """Global top-k rows by ``by`` with deterministic ``tie_by`` ascending
+    tie-break — per-block local top-k + a driver merge of k×num_blocks
+    rows; the corpus is never sorted or materialized."""
+
+    def sort_cols(batch: pa.Table):
+        v = batch[by].combine_chunks().to_numpy(zero_copy_only=False)
+        key = v if ascending else -v
+        if tie_by is not None:
+            t = batch[tie_by].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((t, key))
+        else:
+            order = np.argsort(key, kind="stable")
+        return order
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        order = sort_cols(batch)[:k]
+        return batch.take(pa.array(order))
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        cand.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if tbl.num_rows == 0:
+        return tbl
+    order = sort_cols(tbl)[:k]
+    return tbl.take(pa.array(order))

@@ -613,3 +613,66 @@ class TestHashJoin:
             hash_join(l, r, on="k", right_on="k2", how="inner", broadcast=True)
         )
         assert sh == bc
+
+    def test_semi_anti(self):
+        from pyppmd_ray.functions.relational import hash_join
+
+        l, r = self._sides()
+        semi = hash_join(l, r, on="k", right_on="k2", how="semi").to_pandas()
+        anti = hash_join(l, r, on="k", right_on="k2", how="anti").to_pandas()
+        assert sorted(semi["k"].tolist()) == [1, 1, 2]
+        assert sorted(anti["k"].tolist()) == [3, 4]
+        assert list(semi.columns) == ["k", "v"]  # no right columns
+        # broadcast path agrees
+        semi_bc = hash_join(
+            l, r, on="k", right_on="k2", how="semi", broadcast=True
+        ).to_pandas()
+        anti_bc = hash_join(
+            l, r, on="k", right_on="k2", how="anti", broadcast=True
+        ).to_pandas()
+        assert sorted(semi_bc["k"].tolist()) == [1, 1, 2]
+        assert sorted(anti_bc["k"].tolist()) == [3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleTopk:
+    def test_hash_sample_deterministic_and_keyed(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import hash_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(1000)) * 2, type=pa.int64()),
+                "x": pa.array(range(2000), type=pa.int64()),
+            }
+        )
+        a = hash_sample(rd.from_arrow(t), 0.3, "doc_id").to_pandas()
+        b = hash_sample(rd.from_arrow(t), 0.3, "doc_id").to_pandas()
+        assert sorted(a["x"]) == sorted(b["x"])  # rerun-stable
+        # keyed: both copies of a doc_id kept or dropped together
+        kept = set(a["doc_id"])
+        assert len(a) == 2 * len(kept)
+        # rate lands in a loose band
+        assert 0.2 < len(kept) / 1000 < 0.4
+
+    def test_topk_matches_full_sort(self):
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import topk
+
+        rng = np.random.default_rng(9)
+        vals = rng.integers(0, 100, 5000)  # heavy ties
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(5000), type=pa.int64()),
+                "v": pa.array(vals, type=pa.int64()),
+            }
+        )
+        got = topk(rd.from_arrow(t), "v", 25, tie_by="id")
+        order = np.lexsort((np.arange(5000), -vals))[:25]
+        assert got["id"].to_pylist() == [int(i) for i in order]
+        asc = topk(rd.from_arrow(t), "v", 5, ascending=True, tie_by="id")
+        order2 = np.lexsort((np.arange(5000), vals))[:5]
+        assert asc["id"].to_pylist() == [int(i) for i in order2]
