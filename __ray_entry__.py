@@ -218,6 +218,33 @@ def _q_orders_topk(sf_dir: str):
     return out.select(["o_orderkey", "o_totalprice"])
 
 
+def _q_distinct_text(sf_dir: str):
+    """Exact distinct count, in-cluster (batch-local hash dedup →
+    groupby(hash) → group count; only 64-bit hashes shuffle)."""
+    from pyppmd_ray.functions.stats import distinct_count
+
+    return distinct_count(_ds(sf_dir, "documents"), "text")
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct sketch (k=64): per-batch local k-mins,
+    k×num_blocks u64 driver merge, SQL-reproducible estimate."""
+    from pyppmd_ray.functions.stats import kmv_distinct
+
+    return kmv_distinct(_ds(sf_dir, "documents"), "text", k=64)
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """Column profiler: per-batch partials → (column, n_rows, n_nulls,
+    min, max) per numeric column."""
+    from pyppmd_ray.functions.stats import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return profile_numeric(
+        _ds(sf_dir, "lineitem").select_columns(cols), cols
+    )
+
+
 def _q_asof_events_orders(sf_dir: str):
     from pyppmd_ray.functions.relational import asof_join
 
@@ -586,6 +613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_lineitem": _q_orders_anti,
         "documents_sample": _q_documents_sample,
         "orders_topk_price": _q_orders_topk,
+        "documents_distinct_text": _q_distinct_text,
+        "documents_kmv_distinct": _q_kmv_distinct,
+        "lineitem_profile": _q_lineitem_profile,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
         "events_windowed_watermark": _q_events_windowed_watermark,
@@ -1005,6 +1035,28 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk_price": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "documents_distinct_text": (
+            "SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
+        ),
+        "documents_kmv_distinct": (
+            "WITH h AS (SELECT DISTINCT "
+            "  ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS hv FROM documents), "
+            "km AS (SELECT hv FROM h ORDER BY hv LIMIT 64), "
+            "agg AS (SELECT count(*) AS cnt, max(hv) AS kth FROM km) "
+            "SELECT CAST(CASE WHEN cnt < 64 THEN cnt ELSE 64 END AS BIGINT) AS k, "
+            "  kth AS kth_hash, "
+            "  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE) "
+            "       ELSE 63.0 / (CAST(kth AS DOUBLE) / 18446744073709551616.0) "
+            "  END AS n_distinct_est "
+            "FROM agg"
+        ),
+        "lineitem_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS column, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax "
+            "FROM lineitem"
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         ),
         "prepare_corpus": (
             # dedup (min-id per text) → quality gate, mirroring the engine's

@@ -1,0 +1,153 @@
+"""Distributed statistics operators — distinct counting (exact and
+sketched) and column profiling.
+
+All three follow the pre-aggregate-before-shuffle discipline:
+
+- :func:`distinct_count` — exact: per-batch LOCAL distinct of the hashed
+  key (narrows the shuffle to 64-bit hashes, deduped once per batch),
+  then one groupby + row count. Shuffle volume ≤ distinct-per-batch
+  hashes, never the raw values.
+- :func:`kmv_distinct` — k-minimum-values sketch (Bar-Yossef et al. 2002):
+  keep the k smallest sha256-prefix hashes of distinct values; estimate
+  = (k-1) / (kth_min / 2^64). Per-batch local k-mins → driver merge of
+  k×num_blocks u64s. Exactly SQL-reproducible (the oracle computes the
+  identical hashes and division), unlike HLL whose leading-zero rank is
+  awkward to pin bit-exactly in SQL.
+- :func:`profile_numeric` — per-column (count, nulls, min, max) via
+  per-batch partials merged on the driver (order-independent measures
+  only; sums are excluded deliberately — float addition order differs
+  across parallelism levels).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_U64_SPAN = float(1 << 64)
+
+
+def _sha_u64(vals: list) -> np.ndarray:
+    """First 8 bytes of sha256(str(v)) big-endian — matches the oracle's
+    ('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16))::UBIGINT."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha256(str(v).encode("utf-8")).digest()[:8], "big")
+            for v in vals
+        ],
+        dtype=np.uint64,
+    )
+
+
+def distinct_count(ds: rd.Dataset, col: str) -> pa.Table:
+    """Exact number of distinct values of ``col`` → 1-row table
+    (n_distinct). In-cluster: batch-local dedup of 64-bit hashes →
+    groupby(hash) → count of groups; the driver sees one integer.
+
+    (sha256 prefixes collide with probability ~n²/2^65 — zero at any
+    realistic cardinality, and the SQL oracle hashes identically so the
+    check is exact either way.)"""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        h = np.unique(_sha_u64(batch[col].to_pylist()))
+        return pa.table({"h": pa.array(h.astype(np.int64), type=pa.int64())})
+
+    n = ds.map_batches(local_distinct, batch_format="pyarrow").groupby("h").count().count()
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> pa.Table:
+    """K-minimum-values distinct-count sketch → 1-row table
+    (k, kth_hash, n_distinct_est). Each batch contributes its k smallest
+    distinct hashes; the driver merges k×num_blocks u64s (tiny). With
+    fewer than k distinct values the estimate is exact (the count of
+    distinct hashes seen)."""
+
+    def local_kmins(batch: pa.Table) -> pa.Table:
+        h = np.unique(_sha_u64(batch[col].to_pylist()))[:k]
+        return pa.table({"h": pa.array(h.astype(np.int64), type=pa.int64())})
+
+    parts = ds.map_batches(local_kmins, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    h = np.unique(
+        merged["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    )[:k]
+    if h.size < k:
+        est = float(h.size)
+        kth = int(h[-1]) if h.size else 0
+    else:
+        kth = int(h[-1])
+        est = float(k - 1) / (float(kth) / _U64_SPAN)
+    return pa.table(
+        {
+            "k": pa.array([int(h.size if h.size < k else k)], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.uint64()),
+            "n_distinct_est": pa.array([est], type=pa.float64()),
+        }
+    )
+
+
+def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
+    """Per-column data-quality profile → one row per column:
+    (column, n_rows, n_nulls, min, max) with min/max as float64.
+    Per-batch partials; the driver merges num_blocks×len(columns) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = batch[c]
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            valid = pc.drop_null(col)
+            if len(valid) == 0:
+                mins.append(None)
+                maxs.append(None)
+            else:
+                mm = pc.min_max(pc.cast(valid, pa.float64()))
+                mins.append(mm["min"].as_py())
+                maxs.append(mm["max"].as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n_rows": pa.array(ns, type=pa.int64()),
+                "n_nulls": pa.array(nulls, type=pa.int64()),
+                "vmin": pa.array(mins, type=pa.float64()),
+                "vmax": pa.array(maxs, type=pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    out = {"column": [], "n_rows": [], "n_nulls": [], "vmin": [], "vmax": []}
+    df_cols = parts["column"].to_pylist()
+    for c in columns:
+        mask = np.array([x == c for x in df_cols])
+        out["column"].append(c)
+        out["n_rows"].append(int(np.asarray(parts["n_rows"])[mask].sum()))
+        out["n_nulls"].append(int(np.asarray(parts["n_nulls"])[mask].sum()))
+        mins = parts["vmin"].to_numpy(zero_copy_only=False)[mask]
+        maxs = parts["vmax"].to_numpy(zero_copy_only=False)[mask]
+        mins = mins[~np.isnan(mins.astype(np.float64))] if mins.size else mins
+        maxs = maxs[~np.isnan(maxs.astype(np.float64))] if maxs.size else maxs
+        out["vmin"].append(float(mins.min()) if mins.size else None)
+        out["vmax"].append(float(maxs.max()) if maxs.size else None)
+    return pa.table(
+        {
+            "column": pa.array(out["column"], type=pa.string()),
+            "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], type=pa.int64()),
+            "vmin": pa.array(out["vmin"], type=pa.float64()),
+            "vmax": pa.array(out["vmax"], type=pa.float64()),
+        }
+    )
