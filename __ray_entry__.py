@@ -402,6 +402,41 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.3)
 
 
+def _q_minhash_verified(sf_dir: str):
+    """Composed pipeline: MinHash-LSH candidate pairs → broadcast-join
+    the texts back → EXACT word-3-gram Jaccard per pair. The verify step
+    runs where the pairs are; only the (tiny) pair list and the
+    broadcast documents table move."""
+    from pyppmd_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard
+    from pyppmd_ray.functions.relational import hash_join
+
+    docs = _ds(sf_dir, "documents")
+    pairs = minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.3)
+    j1 = hash_join(
+        pairs, docs, on="doc_id_a", right_on="doc_id", how="inner",
+        broadcast=True, right_columns=["text"],
+    )
+    j2 = hash_join(
+        j1, docs, on="doc_id_b", right_on="doc_id", how="inner",
+        broadcast=True, right_columns=["text"],
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            ngram_jaccard(a or "", b or "", 3)
+            for a, b in zip(batch["text"].to_pylist(), batch["text_r"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id_a": batch["doc_id_a"],
+                "doc_id_b": batch["doc_id_b"],
+                "jaccard_exact": pa.array(ja, type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     from pyppmd_ray.functions.dedup import SimHasher
 
@@ -588,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_pairs,
+        "dedup_minhash_verified": _q_minhash_verified,
         "simhash_fingerprints": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -711,6 +747,38 @@ est AS (
   JOIN sig sb ON sb.doc_id = p.b
 )
 SELECT doc_id_a, doc_id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _minhash_verified_sql(threshold: float = 0.3) -> str:
+    """Exact word-3-gram Jaccard over the LSH candidate pairs — the full
+    minhash query embeds as a CTE, then shingle-set intersection."""
+    base = _minhash_sql(threshold).strip()
+    return f"""
+WITH pairs AS ({base}),
+tok2 AS (SELECT doc_id, regexp_extract_all(text, '{_TOK_RE_SQL}') AS toks FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3 THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ELSE array_to_string(toks, ' ') END AS shingle
+    FROM (SELECT doc_id, toks,
+            unnest(generate_series(1, GREATEST(len(toks) - 2,
+                   CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END))) AS i
+          FROM tok2)
+  )
+),
+ex AS (
+  SELECT p.doc_id_a, p.doc_id_b,
+    (SELECT count(*) FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle
+      WHERE x.doc_id = p.doc_id_a AND y.doc_id = p.doc_id_b) AS inter,
+    (SELECT count(*) FROM sh2 WHERE doc_id = p.doc_id_a) AS na,
+    (SELECT count(*) FROM sh2 WHERE doc_id = p.doc_id_b) AS nb
+  FROM pairs p
+)
+SELECT doc_id_a, doc_id_b,
+  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard_exact
+FROM ex
 """
 
 
@@ -1131,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) > 0.35"
         ),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.3),
+        "dedup_minhash_verified": _minhash_verified_sql(threshold=0.3),
         "simhash_fingerprints": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
