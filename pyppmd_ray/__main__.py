@@ -134,13 +134,23 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(out))
         elif args.cmd == "decode":
-            from pyppmd_ray.pipelines import run_decode_job
+            from pyppmd_ray.pipelines import run_decode_job, run_decode_to_parquet
+            from pyppmd_ray.state.manifest import completed_units
 
             cols = args.columns.split(",") if args.columns else None
-            run_decode_job(
-                args.out_dir, quarantine=args.quarantine, columns=cols
-            ).write_parquet(args.dest)
-            print(json.dumps({"dest": args.dest, "status": "done"}))
+            if args.quarantine or not completed_units(args.out_dir):
+                # streaming path: quarantine handling, or blocks without
+                # an encode manifest ledger
+                run_decode_job(
+                    args.out_dir, quarantine=args.quarantine, columns=cols
+                ).write_parquet(args.dest)
+                print(json.dumps({"dest": args.dest, "status": "done"}))
+            else:
+                # resumable path: one atomic parquet per encode unit;
+                # reruns skip finished units
+                out = run_decode_to_parquet(args.out_dir, args.dest, columns=cols)
+                out["dest"] = args.dest
+                print(json.dumps(out))
         elif args.cmd == "join":
             import ray.data as rd
 

@@ -572,6 +572,110 @@ def run_decode_job(
     )
 
 
+class DecodeUnit:
+    """Actor: decode one encode-unit's blocks file → atomic parquet at the
+    destination. The unit id is reused from the ENCODE manifests, so the
+    decode ledger is simply "which unit-<id>.parquet files exist" — a
+    rerun skips finished units (crash-resumable, like EncodeUnit)."""
+
+    def __init__(self, out_dir: str, dest: str, columns: list[str] | None = None):
+        self.out_dir = out_dir
+        self.dest = dest
+        self.columns = columns
+        os.makedirs(dest, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.encode import _payload_views
+
+        results = []
+        for uid in batch["unit_id"].to_pylist():
+            t0 = time.monotonic()
+            blocks = pq.read_table(unit_blocks_path(self.out_dir, uid))
+            views = _payload_views(blocks["payload"])
+            tables = [decode_block(v, columns=self.columns) for v in views]
+            tbl = (
+                pa.concat_tables(tables)
+                if tables
+                else pa.table({})
+            )
+            fpath = os.path.join(self.dest, f"unit-{uid}.parquet")
+            tmp = fpath + f".tmp-{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, fpath)
+            results.append(
+                {
+                    "unit_id": uid,
+                    "n_rows": int(tbl.num_rows),
+                    "n_blocks": int(blocks.num_rows),
+                    "wall_s": time.monotonic() - t0,
+                }
+            )
+        return pa.Table.from_pylist(results)
+
+
+def run_decode_to_parquet(
+    out_dir: str,
+    dest: str,
+    *,
+    columns: list[str] | None = None,
+    concurrency=None,
+    resume: bool = True,
+) -> dict:
+    """Resumable distributed decode: every completed ENCODE unit decodes
+    to one atomic ``dest/unit-<id>.parquet``; a rerun skips units whose
+    output file already exists. Returns a summary dict.
+
+    This is the production decode shape (the streaming
+    :func:`run_decode_job` has no ledger — a crash restarts the whole
+    write). ``columns`` projects the decode per block."""
+    from ray.data.aggregate import Sum
+
+    from ..codecs.base import CodecError
+
+    units = sorted(completed_units(out_dir))
+    if not units:
+        raise CodecError(
+            f"no completed encode units under {out_dir} (missing "
+            "_manifests/) — run run_encode_job first"
+        )
+    os.makedirs(dest, exist_ok=True)
+    done = (
+        {
+            f[len("unit-") : -len(".parquet")]
+            for f in os.listdir(dest)
+            if f.startswith("unit-") and f.endswith(".parquet")
+        }
+        if resume
+        else set()
+    )
+    todo = [u for u in units if u not in done]
+    summary = {
+        "units_total": len(units),
+        "units_skipped": len(units) - len(todo),
+        "units_decoded": len(todo),
+    }
+    if todo:
+        kwargs: dict[str, Any] = {"concurrency": concurrency or default_concurrency()}
+        stats_ds = rd.from_items([{"unit_id": u} for u in todo]).map_batches(
+            DecodeUnit,
+            fn_constructor_kwargs={
+                "out_dir": out_dir,
+                "dest": dest,
+                "columns": columns,
+            },
+            batch_size=1,
+            batch_format="pyarrow",
+            **kwargs,
+        )
+        agg = stats_ds.aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_blocks", alias_name="n_blocks"),
+        )
+        summary["n_rows"] = int(agg["n_rows"])
+        summary["n_blocks"] = int(agg["n_blocks"])
+    return summary
+
+
 # ----------------------------------------------------------------- verify
 
 

@@ -364,3 +364,43 @@ def test_resume_without_job_json_rejected(source_parquet, tmp_path):
         source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1, resume=False
     )
     assert s["units_encoded"] == s["units_total"]
+
+
+class TestResumableDecode:
+    def test_decode_to_parquet_resumes(self, source_parquet, tmp_path):
+        from pyppmd_ray.pipelines import run_decode_to_parquet
+
+        out = str(tmp_path / "enc")
+        dest = str(tmp_path / "dec")
+        run_encode_job(source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1)
+        s1 = run_decode_to_parquet(out, dest)
+        assert s1["units_decoded"] == s1["units_total"] and s1["units_skipped"] == 0
+        # decoded rows == original rows, bit-identical per column
+        import pyarrow.dataset as pads
+
+        orig = pq.read_table(source_parquet)
+        dec = pads.dataset(dest, format="parquet").to_table()
+        assert dec.num_rows == orig.num_rows
+        assert sorted(row_sha256(dec, "content")) == sorted(row_sha256(orig, "content"))
+        # delete one output → rerun decodes exactly that unit
+        files = sorted(os.listdir(dest))
+        os.remove(os.path.join(dest, files[0]))
+        s2 = run_decode_to_parquet(out, dest)
+        assert s2["units_decoded"] == 1
+        assert s2["units_skipped"] == s2["units_total"] - 1
+        # full rerun is a no-op
+        s3 = run_decode_to_parquet(out, dest)
+        assert s3["units_decoded"] == 0
+
+    def test_decode_to_parquet_projected(self, source_parquet, tmp_path):
+        from pyppmd_ray.pipelines import run_decode_to_parquet
+
+        out = str(tmp_path / "enc")
+        dest = str(tmp_path / "dec")
+        run_encode_job(source_parquet, out, target_block_bytes=1 << 20, unit_bytes=1)
+        run_decode_to_parquet(out, dest, columns=["path"])
+        import pyarrow.dataset as pads
+
+        dec = pads.dataset(dest, format="parquet").to_table()
+        assert dec.column_names == ["path"]
+        assert dec.num_rows == pq.read_table(source_parquet).num_rows
