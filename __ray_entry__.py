@@ -315,6 +315,30 @@ def _q_roundtrip_u64_boundary(sf_dir: str):
     return decode_dataset(encode_dataset(src))
 
 
+def _q_roundtrip_decimal(sf_dir: str):
+    """decimal128 end-to-end: derived exact decimals (scale 3, positive
+    and negative) encode → decode bit-identically (hi/lo int64 split,
+    RLE-friendly hi stream)."""
+    from decimal import Decimal
+
+    from pyppmd_ray.pipelines import decode_dataset, encode_dataset
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ks = batch["s_suppkey"].to_pylist()
+        dp = pa.array(
+            [Decimal(k) + Decimal("0.125") for k in ks], type=pa.decimal128(18, 3)
+        )
+        dn = pa.array(
+            [-Decimal(k) - Decimal("0.125") for k in ks], type=pa.decimal128(18, 3)
+        )
+        return pa.table(
+            {"s_suppkey": batch["s_suppkey"], "dec_pos": dp, "dec_neg": dn}
+        )
+
+    src = _ds(sf_dir, "supplier").map_batches(widen, batch_format="pyarrow")
+    return decode_dataset(encode_dataset(src))
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """General equi-join, shuffle path (fact⋈fact: tag + union + one
     hash-partitioned groupby(key) cross-product)."""
@@ -617,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_supplier": _q_roundtrip("supplier"),
         "roundtrip_documents_projected": _q_roundtrip_projected,
         "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
+        "roundtrip_decimal": _q_roundtrip_decimal,
         "chunking_invariance": _q_chunking_invariance,
         "roundtrip_partitioned": _q_roundtrip_partitioned,
         "compression_by_lang": _q_compression_by_lang,
@@ -1051,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, "
             "CAST(18446744073709551615 AS UBIGINT) - CAST(s_suppkey AS UBIGINT) AS u64_hi, "
             "CAST(9223372036854775808 AS UBIGINT) + CAST(s_suppkey AS UBIGINT) AS u64_mid "
+            "FROM supplier"
+        ),
+        "roundtrip_decimal": (
+            "SELECT s_suppkey, "
+            "CAST(CAST(s_suppkey AS DECIMAL(15,3)) + 0.125 AS DECIMAL(18,3)) AS dec_pos, "
+            "CAST(-CAST(s_suppkey AS DECIMAL(15,3)) - 0.125 AS DECIMAL(18,3)) AS dec_neg "
             "FROM supplier"
         ),
         "chunking_invariance": "SELECT doc_id, text, lang, source, n_chars FROM documents",

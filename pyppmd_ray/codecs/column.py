@@ -71,6 +71,26 @@ def type_to_str(t: pa.DataType) -> str:
         return "list<" + type_to_str(t.value_type) + ">"
     if pa.types.is_large_list(t):
         return "llist<" + type_to_str(t.value_type) + ">"
+    if pa.types.is_float16(t):
+        return "f16"
+    if pa.types.is_time32(t):
+        return f"time32:{t.unit}"
+    if pa.types.is_time64(t):
+        return f"time64:{t.unit}"
+    if pa.types.is_duration(t):
+        return f"dur:{t.unit}"
+    if pa.types.is_fixed_size_binary(t):
+        return f"fsb:{t.byte_width}"
+    if pa.types.is_decimal128(t):
+        return f"dec:{t.precision}:{t.scale}"
+    # nested/parametric markers: the exact type is rebuilt from the child
+    # blobs (which carry their own type strings), not from this marker
+    if pa.types.is_dictionary(t):
+        return "dict"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
     raise CodecError(f"unsupported column type {t}")
 
 
@@ -87,9 +107,26 @@ def str_to_type(s: str) -> pa.DataType:
         _, unit, tz = s.split(":", 2)
         return pa.timestamp(unit, tz=tz or None)
     if s.startswith("list<") and s.endswith(">"):
-        return pa.list_(str_to_type(s[5:-1]))
+        inner = str_to_type(s[5:-1])
+        return pa.list_(inner) if inner is not None else None
     if s.startswith("llist<") and s.endswith(">"):
-        return pa.large_list(str_to_type(s[6:-1]))
+        inner = str_to_type(s[6:-1])
+        return pa.large_list(inner) if inner is not None else None
+    if s == "f16":
+        return pa.float16()
+    if s.startswith("time32:"):
+        return pa.time32(s.split(":", 1)[1])
+    if s.startswith("time64:"):
+        return pa.time64(s.split(":", 1)[1])
+    if s.startswith("dur:"):
+        return pa.duration(s.split(":", 1)[1])
+    if s.startswith("fsb:"):
+        return pa.binary(int(s.split(":", 1)[1]))
+    if s.startswith("dec:"):
+        _, p, sc = s.split(":")
+        return pa.decimal128(int(p), int(sc))
+    if s in ("dict", "struct", "map"):
+        return None  # rebuilt from child blobs
     raise CodecError(f"unknown type string {s}")
 
 
@@ -100,9 +137,9 @@ def _int_storage_view(arr: pa.Array) -> np.ndarray:
     wrap to negative int64 and are un-wrapped on decode, so the full u64
     range round-trips (int codecs all use wrapping int64 arithmetic)."""
     t = arr.type
-    if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         arr = arr.cast(pa.int64())
-    elif pa.types.is_date32(t):
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
         arr = arr.cast(pa.int32())
     v = arr.to_numpy(zero_copy_only=False)
     if v.dtype == np.uint64:
@@ -163,14 +200,31 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, hints: dict | None = None) ->
 def _null_fill_value(t: pa.DataType):
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return ""
+    if pa.types.is_fixed_size_binary(t):
+        return pa.scalar(b"\x00" * t.byte_width, type=t)
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return b""
     if pa.types.is_boolean(t):
         return False
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return None  # handled structurally (empty list via offsets)
-    if pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t):
-        return 0
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_dictionary(t)
+        or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    ):
+        return None  # handled structurally inside the value encoder
+    if pa.types.is_decimal128(t):
+        from decimal import Decimal
+
+        return pa.scalar(Decimal(0), type=t)
+    if (
+        pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t)
+        or pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t)
+    ):
+        return pa.scalar(0, type=t)
+    if pa.types.is_float16(t):
+        return None  # no halffloat fill_null kernel; handled in the f16 branch
     return 0
 
 
@@ -179,7 +233,11 @@ def _encode_values(arr: pa.Array, tstr: str, hints: dict) -> bytes:
     if tstr in ("str", "lstr", "bin", "lbin"):
         col = strcol_from_arrow(arr)
         return _encode_strcol(col, hints)
-    if tstr in _INT_TYPES or tstr.startswith("ts:") or tstr in ("date32", "date64"):
+    if (
+        tstr in _INT_TYPES
+        or tstr.startswith(("ts:", "time32:", "time64:", "dur:"))
+        or tstr in ("date32", "date64")
+    ):
         return encode_int_auto(_int_storage_view(arr))
     if tstr in ("f32", "f64"):
         v = arr.to_numpy(zero_copy_only=False)
@@ -199,6 +257,66 @@ def _encode_values(arr: pa.Array, tstr: str, hints: dict) -> bytes:
         ob = encode_int_auto((offsets - start).astype(np.int64))
         vb = encode_column(values, hints)
         return pack_blob("plist", {"n": len(arr)}, write_uvarint(len(ob)) + ob + vb)
+    if tstr == "f16":
+        if arr.null_count:
+            # fill through float32 (halffloat has no fill_null kernel);
+            # f16→f32→f16 is exact for every representable value
+            arr = pc.cast(pc.fill_null(pc.cast(arr, pa.float32()), 0.0), pa.float16())
+        v = arr.to_numpy(zero_copy_only=False)
+        raw = np.ascontiguousarray(v).tobytes()
+        return min(encode_raw(raw), _encode_bshuf(raw, 2), key=len)
+    if tstr.startswith("fsb:"):
+        w = t.byte_width
+        n = len(arr)
+        buf = arr.buffers()[1]
+        data = bytes(memoryview(buf)[arr.offset * w : (arr.offset + n) * w])
+        col = (np.arange(n + 1, dtype=np.int64) * w, data)
+        return _encode_strcol(col, hints)
+    if tstr.startswith("dec:"):
+        n = len(arr)
+        buf = arr.buffers()[1]
+        raw = np.frombuffer(buf, dtype=np.uint8, count=n * 16, offset=arr.offset * 16)
+        pairs = raw.view("<i8").reshape(n, 2)  # 128-bit LE two's complement
+        lb = encode_int_auto(np.ascontiguousarray(pairs[:, 0]))
+        hb = encode_int_auto(np.ascontiguousarray(pairs[:, 1]))  # hi: mostly 0/-1 → RLE
+        return pack_blob("pdec", {"n": n}, write_uvarint(len(lb)) + lb + hb)
+    if tstr == "dict":
+        # indices (incl. nulls) + dictionary values, each a full column blob
+        ib = encode_column(arr.indices)
+        db = encode_column(arr.dictionary)
+        return pack_blob(
+            "pdict2",
+            {"n": len(arr), "ord": int(t.ordered)},
+            write_uvarint(len(ib)) + ib + db,
+        )
+    if tstr == "struct":
+        # flatten() pushes parent nulls into the children; parent validity
+        # is restored by the caller's validity bitmap
+        fields = arr.flatten()
+        payload = bytearray()
+        payload += write_uvarint(len(fields))
+        for field, child in zip(t, fields):
+            nb = field.name.encode()
+            blob = encode_column(child)
+            payload += write_uvarint(len(nb)) + nb + write_uvarint(len(blob)) + blob
+        return pack_blob("pstruct", {"n": len(arr)}, bytes(payload))
+    if tstr == "map":
+        if arr.null_count > 0:
+            vals = arr.to_pylist()
+            for i in np.flatnonzero(np.asarray(pc.is_null(arr))):
+                vals[int(i)] = []
+            arr = pa.array(vals, type=t)
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        start = int(offsets[0])
+        length = int(offsets[-1]) - start
+        kb = encode_column(arr.keys.slice(start, length))
+        vb = encode_column(arr.items.slice(start, length))
+        ob = encode_int_auto((offsets - start).astype(np.int64))
+        return pack_blob(
+            "pmap",
+            {"n": len(arr), "ks": int(t.keys_sorted)},
+            write_uvarint(len(ob)) + ob + write_uvarint(len(kb)) + kb + vb,
+        )
     raise CodecError(f"cannot encode type {t}")
 
 
@@ -249,6 +367,70 @@ register(14, "boolp", _decode_boolp)
 register(15, "plist", _decode_plist)
 
 
+def _decode_pdec(meta: dict, payload: memoryview) -> bytes:
+    from .base import decode_blob
+
+    n = meta["n"]
+    llen, pos = read_uvarint(payload, 0)
+    lo = np.asarray(decode_blob(payload[pos : pos + llen]), dtype=np.int64)
+    hi = np.asarray(decode_blob(payload[pos + llen :]), dtype=np.int64)
+    pairs = np.empty((n, 2), dtype="<i8")
+    pairs[:, 0] = lo
+    pairs[:, 1] = hi
+    return pairs.tobytes()
+
+
+def _decode_pdict2(meta: dict, payload: memoryview) -> pa.Array:
+    from .base import decode_blob
+
+    ilen, pos = read_uvarint(payload, 0)
+    indices = decode_blob(payload[pos : pos + ilen])
+    dictionary = decode_blob(payload[pos + ilen :])
+    return pa.DictionaryArray.from_arrays(
+        indices, dictionary, ordered=bool(meta.get("ord", 0))
+    )
+
+
+def _decode_pstruct(meta: dict, payload: memoryview) -> pa.Array:
+    from .base import decode_blob
+
+    nfields, pos = read_uvarint(payload, 0)
+    names, children = [], []
+    for _ in range(nfields):
+        nlen, pos = read_uvarint(payload, pos)
+        names.append(bytes(payload[pos : pos + nlen]).decode())
+        pos += nlen
+        blen, pos = read_uvarint(payload, pos)
+        children.append(decode_blob(payload[pos : pos + blen]))
+        pos += blen
+    return pa.StructArray.from_arrays(children, names)
+
+
+def _decode_pmap(meta: dict, payload: memoryview) -> pa.Array:
+    from .base import decode_blob
+
+    n = meta["n"]
+    olen, pos = read_uvarint(payload, 0)
+    offsets = np.asarray(decode_blob(payload[pos : pos + olen]), dtype=np.int64)
+    pos += olen
+    klen, pos2 = read_uvarint(payload, pos)
+    keys = decode_blob(payload[pos2 : pos2 + klen])
+    items = decode_blob(payload[pos2 + klen :])
+    entries = pa.StructArray.from_arrays([keys, items], ["key", "value"])
+    typ = pa.map_(keys.type, items.type, keys_sorted=bool(meta.get("ks", 0)))
+    return pa.Array.from_buffers(
+        typ, n,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets.astype(np.int32)))],
+        children=[entries],
+    )
+
+
+register(21, "pdec", _decode_pdec)
+register(22, "pdict2", _decode_pdict2)
+register(23, "pstruct", _decode_pstruct)
+register(24, "pmap", _decode_pmap)
+
+
 def _decode_column(meta: dict, payload: memoryview) -> pa.Array:
     from .base import decode_blob
 
@@ -281,9 +463,13 @@ def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> p
                 typ, n, [None, pa.py_buffer(np.ascontiguousarray(off)), pa.py_buffer(data)]
             )
         return strcol_to_arrow((offsets, data), large=large)
-    if tstr in _INT_TYPES or tstr.startswith("ts:") or tstr in ("date32", "date64"):
+    if (
+        tstr in _INT_TYPES
+        or tstr.startswith(("ts:", "time64:", "dur:"))
+        or tstr in ("date32", "date64")
+    ):
         vals = np.asarray(decode_blob(payload), dtype=np.int64)
-        if tstr.startswith("ts:") or tstr == "date64":
+        if tstr.startswith(("ts:", "time64:", "dur:")) or tstr == "date64":
             return pa.array(vals, type=pa.int64()).cast(t)
         if tstr == "date32":
             return pa.array(vals.astype(np.int32), type=pa.int32()).cast(t)
@@ -291,6 +477,20 @@ def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> p
             # inverse of the encode-side bit-reinterpret (see _int_storage_view)
             return pa.array(vals.view(np.uint64), type=pa.uint64())
         return pa.array(vals, type=pa.int64()).cast(t)
+    if tstr.startswith("time32:"):
+        vals = np.asarray(decode_blob(payload), dtype=np.int64)
+        return pa.array(vals.astype(np.int32), type=pa.int32()).cast(t)
+    if tstr == "f16":
+        raw = decode_blob(payload)
+        return pa.array(np.frombuffer(raw, dtype=np.float16), type=t)
+    if tstr.startswith("fsb:"):
+        offsets, data = decode_blob(payload)
+        return pa.Array.from_buffers(t, n, [None, pa.py_buffer(data)])
+    if tstr.startswith("dec:"):
+        raw = decode_blob(payload)  # pdec decoder → n*16 LE bytes
+        return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw)])
+    if tstr in ("dict", "struct", "map"):
+        return decode_blob(payload)  # self-contained child decoders
     if tstr in ("f32", "f64"):
         raw = decode_blob(payload)
         dtype = np.float32 if tstr == "f32" else np.float64

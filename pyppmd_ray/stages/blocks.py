@@ -67,6 +67,46 @@ def canonical_column_bytes(arr: pa.Array) -> list[bytes]:
         parts += canonical_column_bytes(pc.list_flatten(arr))
     elif pa.types.is_boolean(t):
         parts.append(np.packbits(arr.to_numpy(zero_copy_only=False), bitorder="little").tobytes())
+    elif pa.types.is_dictionary(t):
+        # logical canonical form: the decoded values (dictionary layout is
+        # an encoding detail, not content)
+        parts += canonical_column_bytes(arr.cast(t.value_type))
+    elif pa.types.is_struct(t):
+        for child in arr.flatten():  # parent nulls pushed into children
+            parts += canonical_column_bytes(child)
+    elif pa.types.is_map(t):
+        # list_value_length has no map kernel in this pyarrow; diff the
+        # offsets and zero the null slots instead
+        lens = np.diff(np.asarray(arr.offsets, dtype=np.int64))
+        if arr.null_count:
+            lens = lens.copy()
+            lens[~np.asarray(pc.is_valid(arr))] = 0
+        off = np.concatenate(([0], np.cumsum(lens)))
+        parts.append(off.tobytes())
+        valid = arr.drop_null() if arr.null_count else arr
+        o2 = np.asarray(valid.offsets, dtype=np.int64)
+        if o2.size:
+            s, ln = int(o2[0]), int(o2[-1]) - int(o2[0])
+            parts += canonical_column_bytes(valid.keys.slice(s, ln))
+            parts += canonical_column_bytes(valid.items.slice(s, ln))
+    elif pa.types.is_decimal128(t):
+        n = len(arr)
+        parts.append(
+            np.frombuffer(
+                arr.buffers()[1], dtype=np.uint8, count=n * 16, offset=arr.offset * 16
+            ).tobytes()
+        )
+    elif pa.types.is_fixed_size_binary(t):
+        n, w = len(arr), t.byte_width
+        parts.append(
+            bytes(memoryview(arr.buffers()[1])[arr.offset * w : (arr.offset + n) * w])
+        )
+    elif pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        parts.append(arr.cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+    elif pa.types.is_float16(t):
+        if arr.null_count:
+            arr = pc.cast(pc.fill_null(pc.cast(arr, pa.float32()), 0.0), pa.float16())
+        parts.append(arr.to_numpy(zero_copy_only=False).tobytes())
     else:
         parts.append(arr.to_numpy(zero_copy_only=False).tobytes())
     return parts
@@ -77,12 +117,27 @@ def _zero_value(t: pa.DataType):
 
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return ""
+    if pa.types.is_fixed_size_binary(t):
+        return pa.scalar(b"\x00" * t.byte_width, type=t)
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return b""
     if pa.types.is_boolean(t):
         return False
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return None
+    if (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+        or pa.types.is_dictionary(t) or pa.types.is_struct(t)
+        or pa.types.is_map(t) or pa.types.is_float16(t)
+    ):
+        return None  # handled structurally in their canonical branches
+    if pa.types.is_decimal128(t):
+        from decimal import Decimal
+
+        return pa.scalar(Decimal(0), type=t)
+    if (
+        pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t)
+        or pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t)
+    ):
+        return pa.scalar(0, type=t)
     return 0
 
 

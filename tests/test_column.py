@@ -133,3 +133,101 @@ def test_codec_name_reads_codec_id_byte():
     assert codec_name(encode_lz(b"abcabcabcabc" * 20)) == "lz"
     assert codec_name(encode_raw(b"xyz")) == "raw"
     assert codec_name(encode_column(pa.array([1, 2, 3]))) == "column"
+
+
+class TestExtendedTypes:
+    """Round 3: full practical Arrow type surface — decimal128, struct,
+    map, dictionary, fixed_size_binary, time32/64, duration, float16 —
+    with nulls, slicing, and deterministic block ids."""
+
+    def _cases(self):
+        import numpy as np
+        from decimal import Decimal
+
+        return {
+            "decimal": pa.array(
+                [Decimal("1.23"), None, Decimal("-99999.99")], type=pa.decimal128(10, 2)
+            ),
+            "decimal_wide": pa.array(
+                [Decimal("12345678901234567890.123"), Decimal("-0.001")],
+                type=pa.decimal128(38, 3),
+            ),
+            "struct": pa.array(
+                [{"a": 1, "b": "x"}, None, {"a": 2, "b": None}],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "fsb": pa.array([b"abcd", None, b"efgh"], type=pa.binary(4)),
+            "dict": pa.array(["a", "b", None, "a"]).dictionary_encode(),
+            "map": pa.array(
+                [[("k", 1), ("j", 2)], None, []], type=pa.map_(pa.string(), pa.int64())
+            ),
+            "time32": pa.array([1, None, 3], type=pa.time32("s")),
+            "time64": pa.array([1, 2, 3], type=pa.time64("ns")),
+            "duration": pa.array([1, None, 3], type=pa.duration("ms")),
+            "f16": pa.array(
+                [np.float16(1.5), None, np.float16(-2.25)], type=pa.float16()
+            ),
+            "list_of_struct": pa.array(
+                [[{"a": 1}], [{"a": 2}, {"a": 3}]],
+                type=pa.list_(pa.struct([("a", pa.int64())])),
+            ),
+        }
+
+    def test_column_roundtrip(self):
+        from pyppmd_ray.codecs import decode_blob
+        from pyppmd_ray.codecs.column import encode_column
+
+        for name, arr in self._cases().items():
+            out = decode_blob(encode_column(arr))
+            assert out.equals(arr), name
+
+    def test_sliced_block_roundtrip_and_deterministic_ids(self):
+        from decimal import Decimal
+
+        from pyppmd_ray.stages.blocks import decode_block, encode_block, split_by_bytes
+
+        n = 600
+        t = pa.table(
+            {
+                "id": pa.array(range(n), type=pa.int64()),
+                "dec": pa.array(
+                    [Decimal(i) / 100 for i in range(n)], type=pa.decimal128(20, 2)
+                ),
+                "st": pa.array(
+                    [{"a": i, "b": f"s{i}"} for i in range(n)],
+                    type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+                ),
+                "fsb": pa.array(
+                    [bytes([i % 256] * 8) for i in range(n)], type=pa.binary(8)
+                ),
+                "mp": pa.array(
+                    [[(f"k{i % 3}", i)] for i in range(n)],
+                    type=pa.map_(pa.string(), pa.int64()),
+                ),
+                "dct": pa.array([f"v{i % 5}" for i in range(n)]).dictionary_encode(),
+            }
+        )
+        subs = split_by_bytes(t, 4 << 10)
+        assert len(subs) > 2  # slicing actually exercised
+        ids_a, ids_b = [], []
+        for sub in subs:
+            blk = encode_block(sub)
+            assert decode_block(blk["payload"]).equals(sub.combine_chunks())
+            ids_a.append(blk["block_id"])
+            ids_b.append(encode_block(sub)["block_id"])
+        assert ids_a == ids_b  # content-addressed ids are deterministic
+
+    def test_projection_skips_exotic_columns(self):
+        from decimal import Decimal
+
+        from pyppmd_ray.stages.blocks import decode_block, encode_block
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "dec": pa.array([Decimal("1.5"), None], type=pa.decimal128(5, 1)),
+            }
+        )
+        blk = encode_block(t)
+        proj = decode_block(blk["payload"], columns=["id"])
+        assert proj.column_names == ["id"]
