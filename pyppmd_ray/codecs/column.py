@@ -83,6 +83,8 @@ def type_to_str(t: pa.DataType) -> str:
         return f"fsb:{t.byte_width}"
     if pa.types.is_decimal128(t):
         return f"dec:{t.precision}:{t.scale}"
+    if pa.types.is_null(t):
+        return "null"
     # nested/parametric markers: the exact type is rebuilt from the child
     # blobs (which carry their own type strings), not from this marker
     if pa.types.is_dictionary(t):
@@ -125,6 +127,8 @@ def str_to_type(s: str) -> pa.DataType:
     if s.startswith("dec:"):
         _, p, sc = s.split(":")
         return pa.decimal128(int(p), int(sc))
+    if s == "null":
+        return pa.null()
     if s in ("dict", "struct", "map"):
         return None  # rebuilt from child blobs
     raise CodecError(f"unknown type string {s}")
@@ -198,6 +202,8 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, hints: dict | None = None) ->
 
 
 def _null_fill_value(t: pa.DataType):
+    if pa.types.is_null(t):
+        return None  # every slot is null by construction
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return ""
     if pa.types.is_fixed_size_binary(t):
@@ -230,6 +236,8 @@ def _null_fill_value(t: pa.DataType):
 
 def _encode_values(arr: pa.Array, tstr: str, hints: dict) -> bytes:
     t = arr.type
+    if tstr == "null":
+        return encode_raw(b"")  # length carried by the column meta
     if tstr in ("str", "lstr", "bin", "lbin"):
         col = strcol_from_arrow(arr)
         return _encode_strcol(col, hints)
@@ -452,6 +460,8 @@ def _decode_column(meta: dict, payload: memoryview) -> pa.Array:
 def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> pa.Array:
     from .base import decode_blob
 
+    if tstr == "null":
+        return pa.nulls(n)
     if tstr in ("str", "lstr", "bin", "lbin"):
         offsets, data = decode_blob(payload)
         large = tstr in ("lstr", "lbin")

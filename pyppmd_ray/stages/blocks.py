@@ -50,6 +50,8 @@ def canonical_column_bytes(arr: pa.Array) -> list[bytes]:
     import pyarrow.compute as pc
 
     parts: list[bytes] = []
+    if pa.types.is_null(t):
+        return [len(arr).to_bytes(8, "little")]  # content IS the length
     if arr.null_count:
         parts.append(np.packbits(np.asarray(pc.is_valid(arr)), bitorder="little").tobytes())
         arr = pc.fill_null(arr, _zero_value(t)) if _zero_value(t) is not None else arr

@@ -131,3 +131,101 @@ def test_fieldt_header_does_not_defeat_typed_paths():
     assert decode_blob(b_hdr) == with_hdr
     # header costs at most a few hundred bytes, not a mode change
     assert len(b_hdr) <= len(b_no) + 400
+
+
+# ---------------------------------------------------- round-3 type surface
+
+_DECIMALS = st.decimals(
+    min_value=-(10**15), max_value=10**15, places=3, allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@settings(max_examples=30, deadline=DEADLINE)
+@given(st.lists(st.one_of(st.none(), _DECIMALS), max_size=120))
+def test_decimal_column_roundtrip(vals):
+    arr = pa.array(vals, type=pa.decimal128(20, 3))
+    assert decode_blob(encode_column(arr)).equals(arr)
+
+
+@settings(max_examples=30, deadline=DEADLINE)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.fixed_dictionaries(
+                {"a": st.integers(-(2**31), 2**31), "b": st.one_of(st.none(), st.text(max_size=20))}
+            ),
+        ),
+        max_size=100,
+    )
+)
+def test_struct_column_roundtrip(vals):
+    t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array(vals, type=t)
+    assert decode_blob(encode_column(arr)).equals(arr)
+
+
+@settings(max_examples=30, deadline=DEADLINE)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.text(max_size=8), st.integers(-(2**31), 2**31)),
+                max_size=6,
+                unique_by=lambda kv: kv[0],
+            ),
+        ),
+        max_size=60,
+    )
+)
+def test_map_column_roundtrip(vals):
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array(vals, type=t)
+    assert decode_blob(encode_column(arr)).equals(arr)
+
+
+@settings(max_examples=30, deadline=DEADLINE)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(["x", "y", "z", "w"])), min_size=1, max_size=150))
+def test_dictionary_column_roundtrip(vals):
+    arr = pa.array(vals).dictionary_encode()
+    assert decode_blob(encode_column(arr)).equals(arr)
+
+
+def test_corrupt_block_payload_raises_not_hangs():
+    """Bit-flips / truncations of a block payload must raise a loud,
+    catchable error (the quarantine contract), never crash or loop."""
+    import pytest
+
+    from pyppmd_ray.codecs.base import CodecError
+    from pyppmd_ray.stages.blocks import decode_block, encode_block
+
+    from decimal import Decimal
+
+    t = pa.table(
+        {
+            "id": pa.array(range(200), type=pa.int64()),
+            "txt": pa.array([f"line {i} " * 8 for i in range(200)]),
+            "dec": pa.array([Decimal(i) / 10 for i in range(200)], type=pa.decimal128(12, 1)),
+        }
+    )
+    payload = bytearray(encode_block(t)["payload"])
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        bad = bytearray(payload)
+        mode = trial % 3
+        if mode == 0:
+            bad = bad[: rng.integers(1, len(bad))]
+        elif mode == 1:
+            bad[int(rng.integers(0, len(bad)))] ^= 0xFF
+        else:
+            for _ in range(8):
+                bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_block(bytes(bad))
+            # silently "succeeding" is acceptable only if the content is
+            # actually intact (flip landed in slack) or parse stayed sane
+            assert out.num_rows <= 200 * 4
+        except (CodecError, ValueError, KeyError, IndexError, OverflowError):
+            pass  # the contract: a catchable error, not a crash/hang
