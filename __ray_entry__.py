@@ -461,6 +461,33 @@ def _q_minhash_verified(sf_dir: str):
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash-LSH pairs → distributed connected
+    components (iterative hash_join + groupby-min label propagation) →
+    every document labeled with its component's min doc id (singletons
+    label themselves)."""
+    import pyarrow.compute as pc
+
+    from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+    from pyppmd_ray.functions.graph import connected_components
+    from pyppmd_ray.functions.relational import hash_join
+
+    pairs = minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.3)
+    cc = connected_components(pairs)
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id"])
+    joined = hash_join(
+        docs, cc, on="doc_id", right_on="node", how="left", broadcast=True
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cl = pc.coalesce(batch["lbl"], batch["doc_id"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "cluster_id": pc.cast(cl, pa.int64())}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     from pyppmd_ray.functions.dedup import SimHasher
 
@@ -649,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_pairs,
         "dedup_minhash_verified": _q_minhash_verified,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_fingerprints": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -804,6 +832,28 @@ ex AS (
 SELECT doc_id_a, doc_id_b,
   CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard_exact
 FROM ex
+"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.3) -> str:
+    """Connected components over the LSH pairs via a recursive
+    transitive-closure CTE; cluster = min reachable id."""
+    base = _minhash_sql(threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({base}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lbl AS (SELECT a AS node, LEAST(a, min(b)) AS cluster FROM reach GROUP BY a)
+SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
 """
 
 
@@ -1231,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": _minhash_sql(threshold=0.3),
         "dedup_minhash_verified": _minhash_verified_sql(threshold=0.3),
+        "dedup_clusters": _dedup_clusters_sql(threshold=0.3),
         "simhash_fingerprints": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),

@@ -435,7 +435,8 @@ def _assemble_normalized(*tables: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     into the object store as this task's return value."""
     from .embeddings import embedding_matrix, int64_column
 
-    tbl = pa.concat_tables(tables)
+    typed = [t for t in tables if t.num_columns > 0]
+    tbl = pa.concat_tables([t for t in typed if t.num_rows > 0] or typed[:1])
     ids = int64_column(tbl["vec_id"])
     m = embedding_matrix(tbl["embedding"])
     norms = np.linalg.norm(m, axis=1)

@@ -301,8 +301,14 @@ def asof_join(
 @ray.remote
 def _concat_remote(*tables: pa.Table) -> pa.Table:
     """Worker-side concat for the broadcast side — the table goes straight
-    into the object store; the driver only handles refs."""
-    return pa.concat_tables(tables)
+    into the object store; the driver only handles refs. Zero-column
+    placeholder blocks (Ray emits schema-less empties from some operator
+    chains) are dropped; empty-but-typed blocks are kept for the schema."""
+    typed = [t for t in tables if t.num_columns > 0]
+    if not typed:
+        raise ValueError("broadcast side has no typed blocks (empty dataset?)")
+    nonempty = [t for t in typed if t.num_rows > 0]
+    return pa.concat_tables(nonempty) if nonempty else typed[0]
 
 
 class _BroadcastJoiner:
@@ -426,6 +432,16 @@ def hash_join(
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            if batch.num_columns == 0:
+                # schema-less placeholder block: emit a typed empty
+                empty = {
+                    kn: pa.array([], type=kt) for kn, kt in zip(lkeys, key_types)
+                }
+                empty.update({c: pa.array([], type=lfield[c]) for c in lval})
+                empty.update({oc: pa.array([], type=rfield[c]) for c, oc in rout})
+                empty["_side"] = pa.array([], type=pa.int8())
+                empty["_salt"] = pa.array([], type=pa.int8())
+                return pa.table(empty)
             cols: dict = {}
             keys_in = lkeys if side == 0 else rkeys
             for kn, ki, kt in zip(lkeys, keys_in, key_types):

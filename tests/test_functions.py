@@ -676,3 +676,37 @@ class TestSampleTopk:
         asc = topk(rd.from_arrow(t), "v", 5, ascending=True, tie_by="id")
         order2 = np.lexsort((np.arange(5000), vals))[:5]
         assert asc["id"].to_pylist() == [int(i) for i in order2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_clusters_and_chain(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.graph import connected_components
+
+        pairs = pa.table(
+            {
+                "doc_id_a": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+                "doc_id_b": pa.array([2, 3, 4, 11, 21, 22], type=pa.int64()),
+            }
+        )
+        cc = connected_components(rd.from_arrow(pairs)).to_pandas()
+        got = dict(zip(cc["node"], cc["lbl"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges_in_log_rounds(self):
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.graph import connected_components
+
+        n = 13  # diameter 12; path compression needs ~log2 rounds
+        ch = pa.table(
+            {
+                "doc_id_a": pa.array(np.arange(100, 100 + n - 1), type=pa.int64()),
+                "doc_id_b": pa.array(np.arange(101, 100 + n), type=pa.int64()),
+            }
+        )
+        cc = connected_components(rd.from_arrow(ch), max_iters=8).to_pandas()
+        assert set(cc["lbl"]) == {100}
