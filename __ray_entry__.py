@@ -153,6 +153,15 @@ def _q_events_windowed(sf_dir: str):
     return windowed_agg(_ds(sf_dir, "events"), width_s=3600)
 
 
+def _q_prepare_corpus_neardup(sf_dir: str):
+    from pyppmd_ray.functions.pipeline import prepare_corpus_neardup
+
+    return prepare_corpus_neardup(
+        _ds(sf_dir, "documents"), min_tokens=20, min_alpha_ratio=0.5,
+        lsh_threshold=0.3,
+    )
+
+
 def _q_events_windowed_sliding(sf_dir: str):
     """Hopping windows (width 1h, hop 15min): each event lands in 4
     windows via a per-batch explode (no extra shuffle vs tumbling)."""
@@ -711,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": _q_asof_events_orders,
         "asof_events_orders_salted": _q_asof_salted,
         "prepare_corpus": _q_prepare_corpus,
+        "prepare_corpus_neardup": _q_prepare_corpus_neardup,
         # multimodal plumbing + real pixel decode
         "multimodal_meta": _q_multimodal,
         "multimodal_pixels": _q_multimodal_pixels,
@@ -756,13 +766,13 @@ def _sql_bucket_expr(n_bits: int, emb: str = "embedding") -> str:
     return " + ".join(terms)
 
 
-def _minhash_sql(threshold: float = 0.3) -> str:
+def _minhash_sql(threshold: float = 0.3, source: str = "documents") -> str:
     from pyppmd_ray.functions.dedup import minhash_params
 
     a, b = minhash_params(128, seed=42)
     return f"""
 WITH consts AS (SELECT {_sql_u64_list(a)} AS ca, {_sql_u64_list(b)} AS cb),
-tok AS (SELECT doc_id, regexp_extract_all(text, '{_TOK_RE_SQL}') AS toks FROM documents),
+tok AS (SELECT doc_id, regexp_extract_all(text, '{_TOK_RE_SQL}') AS toks FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -854,6 +864,43 @@ reach(a, b) AS (
 lbl AS (SELECT a AS node, LEAST(a, min(b)) AS cluster FROM reach GROUP BY a)
 SELECT d.doc_id, CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+"""
+
+
+def _prepare_corpus_neardup_sql(threshold: float = 0.3) -> str:
+    """exact dedup → LSH pairs over the deduped set → connected
+    components (recursive closure) → keep cluster representatives →
+    quality gate — the SQL mirror of prepare_corpus_neardup."""
+    base = _minhash_sql(threshold, source="dset").strip()
+    return f"""
+WITH RECURSIVE dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+dset AS (SELECT d.doc_id, d.text FROM documents d JOIN dd USING (doc_id)),
+pairs AS ({base}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lbl AS (SELECT a AS node, LEAST(a, min(b)) AS cluster FROM reach GROUP BY a),
+kept AS (
+  SELECT doc_id, text FROM dset
+  WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node != cluster)
+),
+q AS (
+  SELECT doc_id, length(text) AS n,
+    regexp_extract_all(trim(text, {_TRIM_SQL}), '{_TOK_RE_SQL}') AS toks,
+    text
+  FROM kept
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(len(toks) AS BIGINT) AS n_tokens
+FROM q WHERE len(toks) >= 20 AND
+  (n > 0 AND CAST(length(regexp_replace(text,
+   '[^A-Za-zÀ-ÖØ-öø-ÿ一-鿿]', '', 'g')) AS DOUBLE) / n > 0.5)
 """
 
 
@@ -1282,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(threshold=0.3),
         "dedup_minhash_verified": _minhash_verified_sql(threshold=0.3),
         "dedup_clusters": _dedup_clusters_sql(threshold=0.3),
+        "prepare_corpus_neardup": _prepare_corpus_neardup_sql(threshold=0.3),
         "simhash_fingerprints": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),

@@ -46,3 +46,55 @@ def prepare_corpus(
         )
 
     return deduped.map_batches(gate, batch_format="pyarrow")
+
+
+def prepare_corpus_neardup(
+    ds: rd.Dataset,
+    *,
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+    lsh_threshold: float = 0.3,
+) -> rd.Dataset:
+    """The full curation chain with NEAR-dup removal: exact dedup →
+    MinHash-LSH pairs → connected components → keep each cluster's min-id
+    representative → quality gate. Every stage is one of the engine's own
+    distributed operators (LSH banding, label propagation, anti-join) —
+    no driver materialization beyond per-round scalar fixpoint checks."""
+    import pyarrow.compute as pc
+
+    from .dedup import dedup_exact, minhash_lsh_pairs
+    from .graph import connected_components
+    from .relational import hash_join
+    from .text import QualityScorer
+
+    deduped = dedup_exact(ds).materialize()  # reused: pairs + final filter
+    pairs = minhash_lsh_pairs(deduped, threshold=lsh_threshold)
+    cc = connected_components(pairs)
+    # non-representative = a node whose component label differs from it
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["node"], batch["lbl"])
+        return pa.table({"drop_id": batch["node"].filter(keep)})
+
+    drop = cc.map_batches(losers, batch_format="pyarrow")
+    kept = hash_join(
+        deduped, drop, on="doc_id", right_on="drop_id", how="anti",
+        broadcast=True,
+    )
+    scorer = QualityScorer()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = scorer(batch)
+        keep = [
+            (nt >= min_tokens) and (ar > min_alpha_ratio)
+            for nt, ar in zip(m["n_tokens"].to_pylist(), m["alpha_ratio"].to_pylist())
+        ]
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": m["doc_id"].filter(mask),
+                "n_chars": m["n_chars"].filter(mask),
+                "n_tokens": m["n_tokens"].filter(mask),
+            }
+        )
+
+    return kept.map_batches(gate, batch_format="pyarrow")

@@ -308,7 +308,11 @@ def _concat_remote(*tables: pa.Table) -> pa.Table:
     if not typed:
         raise ValueError("broadcast side has no typed blocks (empty dataset?)")
     nonempty = [t for t in typed if t.num_rows > 0]
-    return pa.concat_tables(nonempty) if nonempty else typed[0]
+    return (
+        pa.concat_tables(nonempty, promote_options="default")
+        if nonempty
+        else typed[0]
+    )
 
 
 class _BroadcastJoiner:
@@ -406,7 +410,13 @@ def hash_join(
 
     if broadcast:
         proj = right.select_columns(rkeys + rval)
-        ref = _concat_remote.remote(*proj.to_arrow_refs())
+        # typed empty fallback: keeps the join schema-correct even when
+        # every right block is an untyped empty placeholder
+        rfield_all = dict(zip(rschema.names, rschema.types))
+        fallback = pa.table(
+            {c: pa.array([], type=rfield_all[c]) for c in rkeys + rval}
+        )
+        ref = _concat_remote.remote(fallback, *proj.to_arrow_refs())
         joiner = _BroadcastJoiner(ref, lkeys, rkeys, _JOIN_TYPE[how])
         lds = left.select_columns(lkeys + lval) if left_columns is not None else left
         return lds.map_batches(joiner, batch_format="pyarrow")
