@@ -141,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.quarantine or not completed_units(args.out_dir):
                 # streaming path: quarantine handling, or blocks without
                 # an encode manifest ledger
+                if os.path.isdir(args.dest) and any(
+                    f.startswith("unit-") and f.endswith(".parquet")
+                    for f in os.listdir(args.dest)
+                ):
+                    raise SystemExit(
+                        f"dest {args.dest} holds unit-*.parquet from a "
+                        "resumable decode — mixing layouts would duplicate "
+                        "rows; use a clean destination"
+                    )
                 run_decode_job(
                     args.out_dir, quarantine=args.quarantine, columns=cols
                 ).write_parquet(args.dest)

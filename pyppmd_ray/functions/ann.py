@@ -31,26 +31,7 @@ import ray.data as rd
 from .embeddings import embedding_matrix, int64_column
 
 
-class _LazyBroadcast:
-    """Base: hold an ObjectRef (or a plain value for tests); resolve once
-    per worker process on first use. ``__getstate__`` drops any resolved
-    state so pickling the instance ships only the ref."""
-
-    def __init__(self, ref):
-        self._ref = ref
-        self._state = None
-
-    def __getstate__(self):
-        d = self.__dict__.copy()
-        d["_state"] = None
-        return d
-
-    @property
-    def state(self):
-        if self._state is None:
-            r = self._ref
-            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-        return self._state
+from .broadcast import LazyBroadcast as _LazyBroadcast  # shared discipline
 
 
 def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int) -> tuple[np.ndarray, np.ndarray]:

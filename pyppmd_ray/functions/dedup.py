@@ -389,29 +389,21 @@ def embedding_neardup_pairs(tbl: pa.Table, threshold: float = 0.9) -> pa.Table:
     )
 
 
-class _NeardupScorer:
+from .broadcast import LazyBroadcast as _LazyBC
+
+
+class _NeardupScorer(_LazyBC):
     """Holds a ref to the broadcast normalized corpus matrix; fetched
-    lazily ONCE per worker process (``__getstate__`` drops the resolved
-    state, so task mode pickles only the tiny ObjectRef — the broadcast
-    genuinely goes through the object store, not the serialized UDF)."""
+    lazily once per worker (:class:`..broadcast.LazyBroadcast`)."""
 
     def __init__(self, ref, threshold: float):
-        self._ref = ref
-        self._state = None
+        super().__init__(ref)
         self.threshold = threshold
-
-    def __getstate__(self):
-        d = self.__dict__.copy()
-        d["_state"] = None
-        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .embeddings import embedding_matrix, int64_column
 
-        if self._state is None:
-            r = self._ref
-            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-        ids, mn = self._state
+        ids, mn = self.state
         bids = int64_column(batch["vec_id"])
         m = embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)

@@ -35,9 +35,13 @@ def embedding_matrix(col: pa.Array | pa.ChunkedArray, dtype=np.float64) -> np.nd
 
 
 def int64_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Integer column → int64 ndarray via the Arrow buffer (no pylist)."""
+    """Integer column → int64 ndarray via the Arrow buffer (no pylist).
+    Raises on nulls — a silent NaN→INT64_MIN conversion would feed bogus
+    ids into ANN results / centroid seeds."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("id column contains nulls")
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 

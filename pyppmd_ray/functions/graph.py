@@ -64,7 +64,18 @@ def connected_components(
         .aggregate(Min("lbl", alias_name="lbl"))
         .materialize()
     )
-    prev_sum = int(labels.aggregate(Sum("lbl", alias_name="s"))["s"])
+
+    def _label_sum(ds: rd.Dataset) -> int | None:
+        # Ray returns None (or a null field) when aggregating an empty
+        # dataset — the no-pairs case (a clean corpus) must not crash
+        agg = ds.aggregate(Sum("lbl", alias_name="s"))
+        if not agg or agg.get("s") is None:
+            return None
+        return int(agg["s"])
+
+    prev_sum = _label_sum(labels)
+    if prev_sum is None:  # no edges at all → no components to label
+        return labels
 
     def relabel(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "lbl": batch["lbl"]})
@@ -97,7 +108,7 @@ def connected_components(
         )
         # comp schema: (lbl, node, lbl_r)
         labels = comp.map_batches(compress, batch_format="pyarrow").materialize()
-        cur_sum = int(labels.aggregate(Sum("lbl", alias_name="s"))["s"])
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels only decrease ⇒ fixpoint reached
             break
         prev_sum = cur_sum

@@ -100,6 +100,13 @@ def windowed_agg(
             pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)), pa.int64()
         )
         if n_windows == 1:
+            if hop_us > width_us:
+                # sampling windows (hop > width): events in the gap
+                # between windows belong to NO window and are dropped
+                keep = (t - base) < width_us
+                batch = batch.filter(pa.array(keep))
+                base = base[keep]
+                cents = cents.filter(pa.array(keep)) if len(cents) else cents
             out = batch.append_column(
                 "window_start",
                 pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
@@ -315,30 +322,24 @@ def _concat_remote(*tables: pa.Table) -> pa.Table:
     )
 
 
-class _BroadcastJoiner:
+from .broadcast import LazyBroadcast as _LazyBC
+
+
+class _BroadcastJoiner(_LazyBC):
     """Per-batch Arrow hash join against a broadcast right table. The
     instance pickles only the ObjectRef; the table is fetched lazily once
-    per worker process (same discipline as the ANN scorers)."""
+    per worker process (:class:`..broadcast.LazyBroadcast`)."""
 
     def __init__(self, ref, keys, right_keys, join_type, right_suffix="_r"):
-        self._ref = ref
-        self._state = None
+        super().__init__(ref)
         self.keys = keys
         self.right_keys = right_keys
         self.join_type = join_type
         self.right_suffix = right_suffix
 
-    def __getstate__(self):
-        d = self.__dict__.copy()
-        d["_state"] = None
-        return d
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._state is None:
-            r = self._ref
-            self._state = ray.get(r) if isinstance(r, ray.ObjectRef) else r
         return batch.join(
-            self._state,
+            self.state,
             keys=self.keys,
             right_keys=self.right_keys,
             join_type=self.join_type,
@@ -452,8 +453,21 @@ def hash_join(
                 empty["_side"] = pa.array([], type=pa.int8())
                 empty["_salt"] = pa.array([], type=pa.int8())
                 return pa.table(empty)
-            cols: dict = {}
             keys_in = lkeys if side == 0 else rkeys
+            # SQL null semantics: a null key matches NOTHING. Right rows
+            # with any null key are dropped (they can never join); left
+            # null-key rows are dropped for inner/semi and kept for
+            # left/anti — their group then has no right rows, which the
+            # merge already maps to null-padding / anti-keep.
+            valid = None
+            for ki in keys_in:
+                v = pc.is_valid(batch[ki])
+                valid = v if valid is None else pc.and_(valid, v)
+            if side == 1 or how in ("inner", "semi"):
+                if n and not pc.all(valid).as_py():
+                    batch = batch.filter(valid)
+                    n = batch.num_rows
+            cols: dict = {}
             for kn, ki, kt in zip(lkeys, keys_in, key_types):
                 cols[kn] = pc.cast(batch[ki], kt)
             for c in lval:

@@ -639,6 +639,20 @@ def run_decode_to_parquet(
             "_manifests/) — run run_encode_job first"
         )
     os.makedirs(dest, exist_ok=True)
+    foreign = [
+        f
+        for f in os.listdir(dest)
+        if f.endswith(".parquet") and not f.startswith("unit-")
+    ]
+    if foreign:
+        # e.g. Ray part-*.parquet from a prior streaming decode: writing
+        # unit files alongside would silently duplicate every row when
+        # dest is later read as one parquet dataset
+        raise CodecError(
+            f"dest {dest} already holds non-unit parquet files "
+            f"(e.g. {foreign[0]}) — refusing to mix output layouts; use a "
+            "clean destination"
+        )
     done = (
         {
             f[len("unit-") : -len(".parquet")]

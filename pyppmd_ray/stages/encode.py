@@ -93,7 +93,15 @@ def decode_batches(
         payload = payloads[i]
         try:
             yield decode_block(payload, columns=columns)
-        except (CodecError, ValueError, KeyError, IndexError) as e:
+        except (
+            CodecError,
+            ValueError,
+            KeyError,
+            IndexError,
+            OverflowError,  # bit-flipped uvarints overflow C-long paths
+            TypeError,      # corrupt JSON meta with wrong field types
+            MemoryError,    # bogus lengths demanding absurd allocations
+        ) as e:
             if on_error != "quarantine":
                 raise
             bid = (

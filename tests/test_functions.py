@@ -710,3 +710,66 @@ class TestConnectedComponents:
         )
         cc = connected_components(rd.from_arrow(ch), max_iters=8).to_pandas()
         assert set(cc["lbl"]) == {100}
+
+    def test_null_join_keys_match_nothing(self):
+        """SQL null semantics on the shuffle path (code-review regression):
+        null keys never match; left/anti keep null-key left rows."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        l = rd.from_arrow(
+            pa.table({"k": pa.array([1, None, None], type=pa.int64()), "v": ["a", "b", "c"]})
+        )
+        r = rd.from_arrow(
+            pa.table({"k2": pa.array([1, None], type=pa.int64()), "w": [10, 20]})
+        )
+        inner = hash_join(l, r, on="k", right_on="k2", how="inner").to_pandas()
+        assert len(inner) == 1 and inner.iloc[0]["v"] == "a"
+        left = hash_join(l, r, on="k", right_on="k2", how="left").to_pandas()
+        assert len(left) == 3 and left["w"].isna().sum() == 2
+        anti = hash_join(l, r, on="k", right_on="k2", how="anti").to_pandas()
+        assert sorted(anti["v"]) == ["b", "c"]
+        semi = hash_join(l, r, on="k", right_on="k2", how="semi").to_pandas()
+        assert sorted(semi["v"]) == ["a"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_windowed_agg_hop_gt_width_drops_gap_events(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import windowed_agg
+
+        t = pa.table(
+            {
+                "event_type": ["a"] * 2,
+                "ts": pa.array(
+                    [30 * 10**6, 1800 * 10**6], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "value": [1.0, 1.0],
+            }
+        )
+        out = windowed_agg(rd.from_arrow(t), width_s=60, hop_s=3600).to_pandas()
+        assert int(out["n_events"].sum()) == 1  # t=1800s falls in no window
+
+    def test_connected_components_empty_pairs(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.graph import connected_components
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id_a": pa.array([], type=pa.int64()),
+                    "doc_id_b": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        assert len(connected_components(empty).to_pandas()) == 0
+
+    def test_int64_column_rejects_nulls(self):
+        from pyppmd_ray.functions.embeddings import int64_column
+
+        with pytest.raises(ValueError):
+            int64_column(pa.array([1, None], type=pa.int64()))
