@@ -243,6 +243,18 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct(_ds(sf_dir, "documents"), "text", k=64)
 
 
+def _q_lineitem_quantiles(sf_dir: str):
+    """Exact distributed quantiles (value-histogram reduce): l_quantity
+    at q=0.25/0.5/0.75/0.95."""
+    from pyppmd_ray.functions.stats import quantiles
+
+    return quantiles(
+        _ds(sf_dir, "lineitem").select_columns(["l_quantity"]),
+        "l_quantity",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def _q_lineitem_profile(sf_dir: str):
     """Column profiler: per-batch partials → (column, n_rows, n_nulls,
     min, max) per numeric column."""
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_distinct_text": _q_distinct_text,
         "documents_kmv_distinct": _q_kmv_distinct,
         "lineitem_profile": _q_lineitem_profile,
+        "lineitem_quantiles": _q_lineitem_quantiles,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
         "events_windowed_watermark": _q_events_windowed_watermark,
@@ -1246,6 +1259,14 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE 63.0 / (CAST(kth AS DOUBLE) / 18446744073709551616.0) "
             "  END AS n_distinct_est "
             "FROM agg"
+        ),
+        "lineitem_quantiles": (
+            "WITH h AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY v), "
+            "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h), "
+            "s AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h) "
+            "SELECT CAST(q AS DOUBLE) AS q, "
+            "(SELECT CAST(min(v) AS DOUBLE) FROM s, t WHERE cum >= ceil(q * t.n)) AS value "
+            "FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qq(q)"
         ),
         "lineitem_profile": " UNION ALL ".join(
             f"SELECT '{c}' AS column, count(*) AS n_rows, "

@@ -151,3 +151,42 @@ def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
             "vmax": pa.array(out["vmax"], type=pa.float64()),
         }
     )
+
+
+def quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
+    """Exact distributed quantiles via a value histogram: one
+    ``groupby(col).count()`` (map-side combined), then the driver merges
+    only the DISTINCT-value histogram and picks the value at rank
+    ceil(q·n) (1-indexed, ascending). Exact — not a sketch — whenever the
+    column's distinct-value count fits the driver (discrete measures,
+    ids, prices in cents...); for unbounded continuous columns use
+    :func:`kmv_distinct`-style sketching instead.
+
+    Returns (q, value) float64 rows, matching a SQL
+    ``min(v) WHERE cum >= ceil(q*n)`` oracle bit-for-bit (identical IEEE
+    multiply + ceil on both sides)."""
+    counts = ds.groupby(col).count()
+    tbl = pa.concat_tables(
+        counts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    v = tbl[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    c = tbl["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if cum.size else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = int(np.ceil(q * n))
+        rank = max(1, min(rank, n))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(float(v[idx]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.float64()),
+        }
+    )
