@@ -30,11 +30,17 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iters: int = 25,
+    broadcast_max_edges: int = 5_000_000,
 ) -> rd.Dataset:
     """Pairs (undirected edges) → Dataset(node, cluster) where cluster is
     the minimum node id reachable from ``node``. Only nodes that appear
     in at least one pair are returned (isolated nodes keep their own id —
-    join back with ``how='left'`` + coalesce at the call site)."""
+    join back with ``how='left'`` + coalesce at the call site).
+
+    When the edge count is ≤ ``broadcast_max_edges`` (duplicate pairs are
+    normally a sliver of a corpus), the per-round joins run in BROADCAST
+    mode — map-only passes, no shuffle sort per round; above it they fall
+    back to the hash-partitioned shuffle path."""
     from ray.data.aggregate import Min, Sum
 
     from .relational import hash_join
@@ -49,6 +55,7 @@ def connected_components(
         return pa.table({"src": src, "dst": dst})
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    bc = edges.count() <= broadcast_max_edges  # metadata read: edges is materialized
 
     def init_label(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -91,7 +98,7 @@ def connected_components(
         # neighbor labels travel the edge: join on the DST end, emit for SRC
         prop = hash_join(
             edges, labels, on="dst", right_on="node", how="inner",
-            left_columns=["src"],
+            left_columns=["src"], broadcast=bc,
         )
         cand = prop.map_batches(relabel, batch_format="pyarrow")
         merged = (
@@ -104,7 +111,7 @@ def connected_components(
         # remaining propagation distance, so rounds ≈ log2(diameter)
         comp = hash_join(
             merged, merged, on="lbl", right_on="node", how="left",
-            left_columns=["node"], right_columns=["lbl"],
+            left_columns=["node"], right_columns=["lbl"], broadcast=bc,
         )
         # comp schema: (lbl, node, lbl_r)
         labels = comp.map_batches(compress, batch_format="pyarrow").materialize()
