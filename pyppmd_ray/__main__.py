@@ -86,7 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     dd = sub.add_parser("dedup")
     dd.add_argument("input")
     dd.add_argument("dest")
-    dd.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    dd.add_argument(
+        "--method", choices=("exact", "minhash", "clusters"), default="exact",
+        help="exact: min-id rows; minhash: near-dup pair list; "
+        "clusters: (doc_id, cluster_id) labels via connected components",
+    )
     dd.add_argument("--threshold", type=float, default=0.5)
 
     an = sub.add_parser("analyze")
@@ -195,6 +199,32 @@ def main(argv: list[str] | None = None) -> int:
                 from pyppmd_ray.functions.dedup import dedup_exact
 
                 out_ds = dedup_exact(ds)
+            elif args.method == "clusters":
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+                from pyppmd_ray.functions.graph import connected_components
+                from pyppmd_ray.functions.relational import hash_join
+
+                cc = connected_components(
+                    minhash_lsh_pairs(ds, threshold=args.threshold)
+                )
+                joined = hash_join(
+                    ds.select_columns(["doc_id"]), cc,
+                    on="doc_id", right_on="node", how="left", broadcast=True,
+                )
+
+                def finish(batch: pa.Table) -> pa.Table:
+                    cl = pc.coalesce(batch["lbl"], batch["doc_id"])
+                    return pa.table(
+                        {
+                            "doc_id": batch["doc_id"],
+                            "cluster_id": pc.cast(cl, pa.int64()),
+                        }
+                    )
+
+                out_ds = joined.map_batches(finish, batch_format="pyarrow")
             else:
                 from pyppmd_ray.functions.dedup import minhash_lsh_pairs
 
