@@ -242,17 +242,39 @@ def lz_parse(data: np.ndarray, stride: int = 1) -> tuple[list[int], list[int], l
     c16l = memoryview(np.ascontiguousarray(c16))
     n16 = len(c16l)
     mposl = memoryview(np.ascontiguousarray(mpos))
+    g8l = memoryview(np.ascontiguousarray(g8))
     lls: list[int] = []
     mls: list[int] = []
     ofs: list[int] = []
     lit_slices: list[bytes] = []
     anchor = 0
     i = 0
-    ssearch = mpos.searchsorted
     np_size = int(mpos.size)
     extend = _extend_match
+
+    # exact-prefix probes from the ALREADY-PACKED 8-grams: xor of the two
+    # little-endian packs gives the first mismatching BYTE as the lowest
+    # set bit's byte index — candidates shorter than 8 (the bulk of probe
+    # work) resolve with two int ops instead of a bytes-compare call;
+    # longer ones enter _extend_match with the first 8/16 bytes proven.
+    def probe6(c: int, j: int) -> int:
+        x = g8l[j] ^ g8l[c]
+        if x:
+            return ((x & -x).bit_length() - 1) >> 3
+        return extend(db, c, j, 8, n)
+
+    def probe16(c: int, j: int) -> int:
+        x = g8l[j] ^ g8l[c]
+        if x:
+            return ((x & -x).bit_length() - 1) >> 3
+        x = g8l[j + 8] ^ g8l[c + 8]  # in-bounds: the 16-gram domain is g8.size-8
+        if x:
+            return 8 + (((x & -x).bit_length() - 1) >> 3)
+        return extend(db, c, j, 16, n)
+    p = 0  # monotone cursor into mpos (i only increases → amortized O(|mpos|))
     while True:
-        p = int(ssearch(i, "left"))
+        while p < np_size and mposl[p] < i:
+            p += 1
         if p >= np_size:
             break
         j = mposl[p]
@@ -266,20 +288,20 @@ def lz_parse(data: np.ndarray, stride: int = 1) -> tuple[list[int], list[int], l
         if j < n16:
             c2 = c16l[j]
             if c2 >= 0:
-                L = extend(db, c2, j, 0, n)
+                L = probe16(c2, j)
                 c = c2
                 score = 8 * L - (j - c2).bit_length()
         if L < 64:
             c1 = c6l[j]
             if c1 >= 0 and c1 != c:
-                L1 = extend(db, c1, j, 0, n)
+                L1 = probe6(c1, j)
                 s1 = 8 * L1 - (j - c1).bit_length()
                 if s1 > score:
                     c, L, score = c1, L1, s1
             if L < 24 and c1 >= 0:
                 cc = c6l[c1]  # one chain hop on the 6-gram chain
                 if cc >= 0 and cc != c:
-                    L2 = extend(db, cc, j, 0, n)
+                    L2 = probe6(cc, j)
                     s2 = 8 * L2 - (j - cc).bit_length()
                     if s2 > score:
                         c, L, score = cc, L2, s2
