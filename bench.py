@@ -107,9 +107,21 @@ def _run_bench() -> dict:
     # the dataset-level plan is a once-per-dataset cost (amortized to zero
     # at scale) — timed separately so the encode number is steady-state
     t0 = time.monotonic()
-    auto_hints, batch_rows = plan_dataset_hints(
-        rd.read_parquet(src_path, override_num_blocks=SRC_BLOCKS), target_block_bytes=BLOCK_BYTES
-    )
+    # plan from a DIRECT pyarrow read of the leading rows — Ray's
+    # streaming limit() can sample different rows under different
+    # parallelism (observed: one scaling level occasionally picked a
+    # different codec plan, ratio 13.85 vs 12.74, wrecking comparability)
+    from pyppmd_ray.codecs.select import plan_table
+    from pyppmd_ray.stages.blocks import split_by_bytes, table_uncompressed_bytes
+
+    first_file = sorted(
+        f.path for f in pads.dataset(src_path, format="parquet").get_fragments()
+    )[0]
+    sample = pq.ParquetFile(first_file).read_row_group(0).slice(0, 1024)
+    avg_row = max(1, table_uncompressed_bytes(sample) // max(1, sample.num_rows))
+    batch_rows = int(min(1 << 16, max(256, BLOCK_BYTES // avg_row)))
+    sub = split_by_bytes(sample, 2 << 20)
+    auto_hints = plan_table(sub[0]) if sub else None
     extra["plan_s"] = round(time.monotonic() - t0, 3)
     t_enc, enc = _timed(
         lambda: encode_dataset(
