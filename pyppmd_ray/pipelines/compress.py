@@ -88,7 +88,14 @@ def plan_dataset_hints(
     into a row-count batch size (Ray batches are row-counted) so each task
     gets ~one target block instead of whatever the read produced. For
     heterogeneous inputs use ``plan="block"`` (per-batch planning) or
-    run_encode_job (per-unit)."""
+    run_encode_job (per-unit).
+
+    Determinism note: Ray's streaming ``limit()`` may sample different
+    rows at different cluster sizes, so the chosen plan can vary across
+    RUNS (within one job the plan is computed once and broadcast —
+    retries stay consistent). For a run-reproducible plan, sample the
+    input yourself (e.g. pyarrow read of the first fragment) and pass
+    ``hints=`` explicitly, as bench.py does."""
     from ..codecs.select import plan_table
     from ..stages.blocks import table_uncompressed_bytes
 
