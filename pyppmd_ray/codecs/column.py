@@ -424,8 +424,13 @@ def _decode_pmap(meta: dict, payload: memoryview) -> pa.Array:
     klen, pos2 = read_uvarint(payload, pos)
     keys = decode_blob(payload[pos2 : pos2 + klen])
     items = decode_blob(payload[pos2 + klen :])
-    entries = pa.StructArray.from_arrays([keys, items], ["key", "value"])
     typ = pa.map_(keys.type, items.type, keys_sorted=bool(meta.get("ks", 0)))
+    # the entries struct must carry the map type's EXACT field nullability
+    # (key non-nullable) — a generic struct writes unreadable parquet
+    # ("Malformed levels") because the definition-level depth differs
+    entries = pa.StructArray.from_arrays(
+        [keys, items], fields=[typ.key_field, typ.item_field]
+    )
     return pa.Array.from_buffers(
         typ, n,
         [None, pa.py_buffer(np.ascontiguousarray(offsets.astype(np.int32)))],
