@@ -6,6 +6,14 @@ one reference compression stream (`/root/reference/src/pyppmd/__init__.py:
 126-155`), except the "stream" is a typed Arrow column and the codec is a
 cascade chosen per column (optionally pinned by the sampling selector).
 
+Nested-type normalization note: decoded list/struct children use Arrow's
+default child-field NAMES and NULLABILITY ("item", nullable) — a source
+parquet with REQUIRED child fields decodes to equal VALUES under
+normalized flags. Canonical byte verification (run_verify_job) and the
+driver's value-hash compare are unaffected; only strict Schema.equals on
+child-field metadata would notice. Maps rebuild the spec-exact
+(non-nullable key) entry fields — parquet writers reject anything else.
+
 Type dispatch:
 - int / uint / timestamp / date / time → widen to int64 → constant | FOR |
   delta | RLE (smallest wins);
