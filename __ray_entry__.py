@@ -616,6 +616,20 @@ def _q_multimodal_pixels(sf_dir: str):
     )
 
 
+def _q_multimodal_audio(sf_dir: str):
+    """Audio modality: documents → real PCM16 WAV payloads (RIFF
+    container) → AudioDecoder validates + decodes + extracts features.
+    Samples derive deterministically from n_chars, so DuckDB verifies the
+    full container→PCM→feature loop by value."""
+    from pyppmd_ray.functions.multimodal import AudioDecoder, to_audio_table
+
+    return (
+        _ds(sf_dir, "documents")
+        .map_batches(to_audio_table, batch_format="pyarrow")
+        .map_batches(AudioDecoder(), batch_format="pyarrow", batch_size=256)
+    )
+
+
 def _q_compression_by_lang(sf_dir: str):
     """Per-lang compression metrics (rows-only: compressed sizes are not
     SQL-expressible). The lang-partitioned encode runs IN the cluster via
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing + real pixel decode
         "multimodal_meta": _q_multimodal,
         "multimodal_pixels": _q_multimodal_pixels,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 
@@ -1362,6 +1377,20 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "multimodal_meta": _multimodal_sql(),
         "multimodal_pixels": _multimodal_pixels_sql(),
+        "multimodal_audio": (
+            # sample[i] = ((i*2654435761 + n) % 65536) - 32768 over
+            # n_samples = 64 + n % 256 — the decoder must reproduce the
+            # per-clip |s| aggregates exactly
+            "WITH d AS (SELECT doc_id, length(text) AS n FROM documents), "
+            "dims AS (SELECT doc_id, n, 64 + n % 256 AS ns FROM d), "
+            "s AS (SELECT doc_id, ns, "
+            "  abs((i * 2654435761 + n) % 65536 - 32768) AS a "
+            "  FROM dims, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) ii) "
+            "SELECT doc_id, CAST(ns AS BIGINT) AS n_samples, "
+            "  CAST(16000 AS BIGINT) AS sample_rate, "
+            "  CAST(max(a) AS BIGINT) AS peak, CAST(sum(a) AS BIGINT) AS sum_abs "
+            "FROM s GROUP BY doc_id, ns"
+        ),
         # rows-only (non-SQL-expressible): compression_by_lang — compressed
         # sizes come from the engine's own codecs; its row shape is checked
         # by the driver's weaker rows-only pass and by tests/test_queries.py

@@ -316,3 +316,98 @@ def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
             "frame_idx": pa.array(frames, type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------- audio (WAV)
+
+WAV_HEADER_BYTES = 44  # RIFF(12) + fmt(24) + data header(8)
+
+
+def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """PCM16 mono WAV (RIFF little-endian, spec-complete 44-byte header) —
+    a REAL audio container any player/parser reads; pure struct+numpy."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def parse_wav(data: bytes) -> tuple[dict, np.ndarray]:
+    """Parse + validate a PCM16 mono WAV; returns (meta, samples).
+    Raises ValueError on malformed input (poison-row policy)."""
+    if len(data) < WAV_HEADER_BYTES or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if data[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_len, audio_fmt, channels, rate, _brate, _align, bits = struct.unpack(
+        "<IHHIIHH", data[16:36]
+    )
+    if fmt_len != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV (fmt_len={fmt_len}, fmt={audio_fmt}, "
+            f"ch={channels}, bits={bits}); PCM16 mono only"
+        )
+    if data[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (dlen,) = struct.unpack("<I", data[40:44])
+    if 44 + dlen > len(data):
+        raise ValueError("truncated data chunk")
+    samples = np.frombuffer(data, dtype="<i2", count=dlen // 2, offset=44)
+    return {"sample_rate": rate, "n_samples": int(samples.size)}, samples
+
+
+def deterministic_samples(n_chars: int) -> np.ndarray:
+    """sample[i] = ((i*2654435761 + n_chars) mod 65536) − 32768 —
+    SQL-reproducible PCM content; length 64 + n_chars % 256."""
+    n = 64 + n_chars % 256
+    i = np.arange(n, dtype=np.int64)
+    return ((i * 2654435761 + n_chars) % 65536 - 32768).astype(np.int16)
+
+
+def to_audio_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents batch → WAV payloads (doc_id, payload, media_type,
+    n_bytes); PCM content derives deterministically from n_chars."""
+    texts = [(t or "") for t in batch[text_col].to_pylist()]
+    payloads = [make_wav(deterministic_samples(len(t))) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "media_type": pa.array(["audio/wav"] * len(payloads)),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class AudioDecoder:
+    """Actor-pool feature-extract stage for WAV payloads: validates the
+    container, decodes PCM16, emits per-clip features (n_samples,
+    sample_rate, peak = max |s|, sum_abs = Σ|s|)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_s, rates, peaks, sums = [], [], [], [], []
+        for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            meta, samples = parse_wav(p.as_py() or b"")
+            a = np.abs(samples.astype(np.int64))
+            ids.append(doc_id)
+            n_s.append(meta["n_samples"])
+            rates.append(meta["sample_rate"])
+            peaks.append(int(a.max()) if a.size else 0)
+            sums.append(int(a.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_samples": pa.array(n_s, type=pa.int64()),
+                "sample_rate": pa.array(rates, type=pa.int64()),
+                "peak": pa.array(peaks, type=pa.int64()),
+                "sum_abs": pa.array(sums, type=pa.int64()),
+            }
+        )

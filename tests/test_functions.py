@@ -773,3 +773,42 @@ class TestReviewRegressions:
 
         with pytest.raises(ValueError):
             int64_column(pa.array([1, None], type=pa.int64()))
+
+
+class TestAudio:
+    def test_wav_roundtrip_and_validation(self):
+        import numpy as np
+
+        from pyppmd_ray.functions.multimodal import (
+            deterministic_samples,
+            make_wav,
+            parse_wav,
+        )
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(-32768, 32768, 500).astype(np.int16)
+        meta, out = parse_wav(make_wav(s, sample_rate=8000))
+        assert (out == s).all() and meta == {"sample_rate": 8000, "n_samples": 500}
+        w = make_wav(deterministic_samples(77))
+        for bad in (b"", b"RIFFxxxxWAVE", w[:50], b"RIFX" + w[4:]):
+            with pytest.raises(ValueError):
+                parse_wav(bad)
+
+    def test_audio_decoder_features(self):
+        import numpy as np
+
+        from pyppmd_ray.functions.multimodal import (
+            AudioDecoder,
+            deterministic_samples,
+            to_audio_table,
+        )
+
+        t = docs_table()
+        feats = AudioDecoder()(to_audio_table(t))
+        texts = t["text"].to_pylist()
+        for i in range(feats.num_rows):
+            s = deterministic_samples(len(texts[i]))
+            a = np.abs(s.astype(np.int64))
+            assert feats["n_samples"][i].as_py() == s.size
+            assert feats["peak"][i].as_py() == int(a.max())
+            assert feats["sum_abs"][i].as_py() == int(a.sum())
