@@ -630,6 +630,23 @@ def _q_multimodal_audio(sf_dir: str):
     )
 
 
+def _q_multimodal_video(sf_dir: str):
+    """Video modality: documents → real YUV4MPEG2 clips → frame sampler
+    validates + decodes, keeps every 2nd frame, emits one row per sampled
+    frame with its luma sum — the flat_map fan-out a training pipeline
+    feeds to an image model. Frames derive deterministically from
+    n_chars, so DuckDB verifies it by value."""
+    from pyppmd_ray.functions.multimodal import VideoFrameSampler, to_video_table
+
+    return (
+        _ds(sf_dir, "documents")
+        .map_batches(to_video_table, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampler(every_n=2), batch_format="pyarrow", batch_size=256
+        )
+    )
+
+
 def _q_compression_by_lang(sf_dir: str):
     """Per-lang compression metrics (rows-only: compressed sizes are not
     SQL-expressible). The lang-partitioned encode runs IN the cluster via
@@ -752,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal,
         "multimodal_pixels": _q_multimodal_pixels,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_video,
     }
 
 
@@ -1390,6 +1408,22 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(16000 AS BIGINT) AS sample_rate, "
             "  CAST(max(a) AS BIGINT) AS peak, CAST(sum(a) AS BIGINT) AS sum_abs "
             "FROM s GROUP BY doc_id, ns"
+        ),
+        "multimodal_video_frames": (
+            # frame[f][r][c] = (f*131 + r*17 + c*5 + n) % 256 over 8x8
+            # planes, n_frames = 2 + n % 14, sampled every 2nd frame
+            "WITH d AS (SELECT doc_id, length(text) AS n FROM documents), "
+            "dims AS (SELECT doc_id, n, 2 + n % 14 AS nf FROM d), "
+            "fr AS (SELECT doc_id, n, f FROM dims, "
+            "  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) ff "
+            "  WHERE f % 2 = 0), "
+            "px AS (SELECT doc_id, f, "
+            "  (f * 131 + r * 17 + c * 5 + n) % 256 AS v "
+            "  FROM fr, LATERAL (SELECT unnest(generate_series(0, 7)) AS r) rr, "
+            "  LATERAL (SELECT unnest(generate_series(0, 7)) AS c) cc) "
+            "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, "
+            "  CAST(sum(v) AS BIGINT) AS luma_sum "
+            "FROM px GROUP BY doc_id, f"
         ),
         # rows-only (non-SQL-expressible): compression_by_lang — compressed
         # sizes come from the engine's own codecs; its row shape is checked

@@ -411,3 +411,106 @@ class AudioDecoder:
                 "sum_abs": pa.array(sums, type=pa.int64()),
             }
         )
+
+
+# ------------------------------------------------------------ video (Y4M)
+
+Y4M_RATE = "25:1"
+
+
+def make_y4m(frames: np.ndarray) -> bytes:
+    """YUV4MPEG2 clip, mono (YUV with Cb=Cr=128 omitted via C420? no —
+    plain 'Cmono' grayscale planes): a REAL, player-readable container.
+    ``frames``: (n_frames, height, width) uint8 luma planes."""
+    nf, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{Y4M_RATE} Ip A1:1 Cmono\n".encode()
+    parts = [head]
+    for f in range(nf):
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(frames[f]).tobytes())
+    return b"".join(parts)
+
+
+def parse_y4m(data: bytes) -> tuple[dict, np.ndarray]:
+    """Parse + validate a mono Y4M clip → (meta, (n, h, w) uint8 frames).
+    Raises ValueError on malformed input (poison-row policy)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    head = data[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    for tokn in head[1:]:
+        if tokn.startswith("W"):
+            w = int(tokn[1:])
+        elif tokn.startswith("H"):
+            h = int(tokn[1:])
+        elif tokn.startswith("C") and tokn != "Cmono":
+            raise ValueError(f"unsupported colorspace {tokn}; mono only")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME header")
+        pos = fnl + 1
+        if pos + fsize > len(data):
+            raise ValueError("truncated frame plane")
+        frames.append(np.frombuffer(data, dtype=np.uint8, count=fsize, offset=pos).reshape(h, w))
+        pos += fsize
+    return {"width": w, "height": h, "n_frames": len(frames)}, (
+        np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8)
+    )
+
+
+def deterministic_frames(n_chars: int) -> np.ndarray:
+    """(n_frames, 8, 8) uint8 with frame[f][r][c] = (f*131 + r*17 + c*5 +
+    n_chars) % 256; n_frames = 2 + n_chars % 14 — SQL-reproducible."""
+    nf = 2 + n_chars % 14
+    f = np.arange(nf, dtype=np.int64)[:, None, None]
+    r = np.arange(8, dtype=np.int64)[None, :, None]
+    c = np.arange(8, dtype=np.int64)[None, None, :]
+    return ((f * 131 + r * 17 + c * 5 + n_chars) % 256).astype(np.uint8)
+
+
+def to_video_table(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents batch → Y4M payloads (doc_id, payload, media_type,
+    n_bytes); frames derive deterministically from n_chars."""
+    texts = [(t or "") for t in batch[text_col].to_pylist()]
+    payloads = [make_y4m(deterministic_frames(len(t))) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "media_type": pa.array(["video/x-yuv4mpeg"] * len(payloads)),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage: validates + decodes the Y4M clip,
+    keeps every ``every_n``-th frame, emits one row per SAMPLED frame
+    with its luma sum (flat_map shape — the per-frame fan-out a training
+    pipeline feeds to an image model)."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = int(every_n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            meta, frames = parse_y4m(p.as_py() or b"")
+            for f in range(0, meta["n_frames"], self.every_n):
+                ids.append(doc_id)
+                fidx.append(f)
+                sums.append(int(frames[f].astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "luma_sum": pa.array(sums, type=pa.int64()),
+            }
+        )

@@ -812,3 +812,52 @@ class TestAudio:
             assert feats["n_samples"][i].as_py() == s.size
             assert feats["peak"][i].as_py() == int(a.max())
             assert feats["sum_abs"][i].as_py() == int(a.sum())
+
+
+class TestVideo:
+    def test_y4m_roundtrip_and_validation(self):
+        import numpy as np
+
+        from pyppmd_ray.functions.multimodal import (
+            deterministic_frames,
+            make_y4m,
+            parse_y4m,
+        )
+
+        fr = deterministic_frames(100)
+        meta, out = parse_y4m(make_y4m(fr))
+        assert (out == fr).all()
+        assert meta == {"width": 8, "height": 8, "n_frames": len(fr)}
+        good = make_y4m(fr)
+        for bad in (b"", b"YUV4MPEG2 W8\n", good[:30], b"XUV" + good[3:]):
+            with pytest.raises(ValueError):
+                parse_y4m(bad)
+
+    def test_frame_sampler(self):
+        import numpy as np
+
+        from pyppmd_ray.functions.multimodal import (
+            VideoFrameSampler,
+            deterministic_frames,
+            to_video_table,
+        )
+
+        t = docs_table()
+        rows = VideoFrameSampler(every_n=2)(to_video_table(t))
+        texts = t["text"].to_pylist()
+        # check one doc end-to-end
+        d0 = t["doc_id"][0].as_py()
+        fr = deterministic_frames(len(texts[0]))
+        want = {
+            f: int(fr[f].astype(np.int64).sum()) for f in range(0, len(fr), 2)
+        }
+        got = {
+            fi: ls
+            for di, fi, ls in zip(
+                rows["doc_id"].to_pylist(),
+                rows["frame_idx"].to_pylist(),
+                rows["luma_sum"].to_pylist(),
+            )
+            if di == d0
+        }
+        assert got == want
