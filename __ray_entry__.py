@@ -616,6 +616,14 @@ def _q_multimodal_pixels(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing: every doc assigned to a 2048-token training pack
+    via a distributed prefix sum over the id-sorted corpus."""
+    from pyppmd_ray.functions.sequence import pack_sequences
+
+    return pack_sequences(_ds(sf_dir, "documents"), budget=2048)
+
+
 def _q_multimodal_audio(sf_dir: str):
     """Audio modality: documents → real PCM16 WAV payloads (RIFF
     container) → AudioDecoder validates + decodes + extracts features.
@@ -745,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count_bpe": _q_token_count_bpe,
+        "pack_sequences": _q_pack_sequences,
         # aggregates / relational / pipeline ops
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
@@ -1392,6 +1401,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_sql(),
         "embedding_quantize": _quantize_sql(),
         "token_count_bpe": _bpe_token_sql(),
+        "pack_sequences": (
+            "WITH tok AS (SELECT doc_id, "
+            "  CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
+            "  ELSE len(regexp_split_to_array(trim(text, ' \t\n\r'), '[ \t\n\r]+')) "
+            "  END AS n_tokens FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before "
+            "  FROM tok) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(before // 2048 AS BIGINT) AS pack_id FROM s"
+        ),
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "multimodal_meta": _multimodal_sql(),
         "multimodal_pixels": _multimodal_pixels_sql(),
