@@ -616,6 +616,15 @@ def _q_multimodal_pixels(sf_dir: str):
     )
 
 
+def _q_bpe_trained(sf_dir: str):
+    """Trained BPE tokenization (rows-only: iterative merge training is
+    not SQL-expressible; unit tests pin known merges). Train on a sample
+    driver-side, broadcast merges once, apply via per-actor state."""
+    from pyppmd_ray.functions.bpe import tokenize_bpe
+
+    return tokenize_bpe(_ds(sf_dir, "documents"), n_merges=128, sample_rows=256)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing: every doc assigned to a 2048-token training pack
     via a distributed prefix sum over the id-sorted corpus."""
@@ -753,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count_bpe": _q_token_count_bpe,
+        "token_count_bpe_trained": _q_bpe_trained,
         "pack_sequences": _q_pack_sequences,
         # aggregates / relational / pipeline ops
         "events_by_type": _q_events_by_type,
@@ -1447,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM px GROUP BY doc_id, f"
         ),
         # rows-only (non-SQL-expressible): compression_by_lang — compressed
-        # sizes come from the engine's own codecs; its row shape is checked
-        # by the driver's weaker rows-only pass and by tests/test_queries.py
+        # sizes come from the engine's own codecs; token_count_bpe_trained —
+        # iterative BPE merge training has no SQL mirror (unit tests pin
+        # known merges). Both get the driver's weaker rows-only pass.
     }

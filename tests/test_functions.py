@@ -861,3 +861,40 @@ class TestVideo:
             if di == d0
         }
         assert got == want
+
+
+class TestTrainedBpe:
+    def test_train_and_apply_known_merges(self):
+        from pyppmd_ray.functions.bpe import apply_bpe, train_bpe
+
+        texts = ["low low low low low", "lower lower", "newest newest newest"]
+        merges = train_bpe(texts, n_merges=8)
+        assert merges, "no merges learned"
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        # 'low' appears 7 times (5 + 2 as prefix of lower... prefix words
+        # differ); the most frequent pair must come from 'low'
+        a, b = merges[0]
+        assert (a + b) in ("lo", "ow", "w</w>", "ow</w>")
+        toks = apply_bpe("low", ranks)
+        assert "".join(toks).replace("</w>", "") == "low"  # lossless
+        # fully-merged frequent word collapses to few tokens
+        assert len(toks) <= 3
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_tokenize_bpe_distributed(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.bpe import apply_bpe, tokenize_bpe, train_bpe, _WORD_RE
+
+        t = docs_table()
+        out = tokenize_bpe(rd.from_arrow(t), n_merges=64, sample_rows=8).to_pandas()
+        assert len(out) == t.num_rows
+        # distributed result == local recompute with the same training set
+        sample = t["text"].to_pylist()[:8]
+        ranks = {tuple(p): i for i, p in enumerate(train_bpe(sample, n_merges=64))}
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        for _, row in out.iterrows():
+            want = sum(
+                len(apply_bpe(w, ranks)) for w in _WORD_RE.findall(texts[row["doc_id"]] or "")
+            )
+            assert row["n_bpe_tokens"] == want
