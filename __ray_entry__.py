@@ -497,7 +497,8 @@ def _q_dedup_clusters(sf_dir: str):
     cc = connected_components(pairs)
     docs = _ds(sf_dir, "documents").select_columns(["doc_id"])
     joined = hash_join(
-        docs, cc, on="doc_id", right_on="node", how="left", broadcast=True
+        docs, cc, on="doc_id", right_on="node", how="left",
+        broadcast=cc.count() <= 5_000_000,  # label table scales with dups
     )
 
     def finish(batch: pa.Table) -> pa.Table:

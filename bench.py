@@ -86,7 +86,7 @@ def _run_bench() -> dict:
 
     from pyppmd_ray.fixtures import source_table_path
     from pyppmd_ray.pipelines import decode_dataset, encode_dataset, row_sha256
-    from pyppmd_ray.pipelines.compress import plan_dataset_hints
+    from pyppmd_ray.pipelines.compress import plan_sample_table
 
     src_path = source_table_path(BENCH_ROWS, seed=42)
     # warm page cache (measure compute, not first disk read)
@@ -111,17 +111,11 @@ def _run_bench() -> dict:
     # streaming limit() can sample different rows under different
     # parallelism (observed: one scaling level occasionally picked a
     # different codec plan, ratio 13.85 vs 12.74, wrecking comparability)
-    from pyppmd_ray.codecs.select import plan_table
-    from pyppmd_ray.stages.blocks import split_by_bytes, table_uncompressed_bytes
-
     first_file = sorted(
         f.path for f in pads.dataset(src_path, format="parquet").get_fragments()
     )[0]
     sample = pq.ParquetFile(first_file).read_row_group(0).slice(0, 1024)
-    avg_row = max(1, table_uncompressed_bytes(sample) // max(1, sample.num_rows))
-    batch_rows = int(min(1 << 16, max(256, BLOCK_BYTES // avg_row)))
-    sub = split_by_bytes(sample, 2 << 20)
-    auto_hints = plan_table(sub[0]) if sub else None
+    auto_hints, batch_rows = plan_sample_table(sample, BLOCK_BYTES)
     extra["plan_s"] = round(time.monotonic() - t0, 3)
     t_enc, enc = _timed(
         lambda: encode_dataset(

@@ -210,9 +210,13 @@ def main(argv: list[str] | None = None) -> int:
                 cc = connected_components(
                     minhash_lsh_pairs(ds, threshold=args.threshold)
                 )
+                # broadcast only while the label table is small (on a
+                # duplicate-heavy corpus it scales with the corpus);
+                # cc is materialized so count() is a metadata read
                 joined = hash_join(
                     ds.select_columns(["doc_id"]), cc,
-                    on="doc_id", right_on="node", how="left", broadcast=True,
+                    on="doc_id", right_on="node", how="left",
+                    broadcast=cc.count() <= 5_000_000,
                 )
 
                 def finish(batch: pa.Table) -> pa.Table:

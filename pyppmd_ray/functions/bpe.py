@@ -4,11 +4,15 @@ small-memory, sequential algorithm by nature), APPLY distributed with the
 merge table held once per actor/worker (the load-model-in-__init__
 pattern; the table is broadcast via ray.put, never re-shipped per batch).
 
-Deterministic: word candidates come from whitespace tokens, pair counts
-break ties lexicographically, so the same sample always trains the same
-merges. Application is the classic greedy lowest-rank merge loop. Not
-SQL-expressible (iterative merges) → the query entry is rows-only by
-design, with unit tests pinning known merges end-to-end.
+Deterministic GIVEN the sample: pair counts break ties
+lexicographically, so the same texts always train the same merges.
+Caveat: ``tokenize_bpe``'s default sample comes from Ray's streaming
+``limit()``, which may return different leading rows at different
+parallelism — pass ``sample_texts=`` (e.g. a direct pyarrow read) for
+strict run-to-run determinism. Application is the classic greedy
+lowest-rank merge loop. Not SQL-expressible (iterative merges) → the
+query entry is rows-only by design, with unit tests pinning known
+merges end-to-end.
 """
 
 from __future__ import annotations
@@ -16,7 +20,6 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-import numpy as np
 import pyarrow as pa
 
 import ray
@@ -84,8 +87,8 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 class BpeTokenizer(LazyBroadcast):
     """map_batches stage: the trained merge list is fetched from the
     object store ONCE per worker (LazyBroadcast); per-word results are
-    cached per actor (hot words tokenize once). Emits (doc_id,
-    n_bpe_tokens, n_unk) where n_unk counts base-symbol fallbacks."""
+    cached per actor (hot words tokenize once). Emits
+    (doc_id, n_bpe_tokens)."""
 
     _MAX_CACHE = 1 << 20
 
@@ -125,13 +128,17 @@ class BpeTokenizer(LazyBroadcast):
 
 def tokenize_bpe(
     ds: rd.Dataset, *, n_merges: int = 256, sample_rows: int = 512,
-    concurrency=None,
+    sample_texts: list[str] | None = None, concurrency=None,
 ) -> rd.Dataset:
-    """Train on a leading sample (driver-side — tokenizer training is
-    inherently sequential and tiny), broadcast the merges once, apply
-    distributed. Returns (doc_id, n_bpe_tokens)."""
-    sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
-    merges = train_bpe(sample["text"].to_pylist(), n_merges=n_merges)
+    """Train on a sample (driver-side — tokenizer training is inherently
+    sequential and tiny), broadcast the merges once, apply distributed.
+    Returns (doc_id, n_bpe_tokens). Pass ``sample_texts`` for a
+    run-deterministic training set (Ray's limit() may sample different
+    rows across runs/cluster sizes — see module docstring)."""
+    if sample_texts is None:
+        sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+        sample_texts = sample["text"].to_pylist()
+    merges = train_bpe(sample_texts, n_merges=n_merges)
     ref = ray.put(merges)
     if concurrency:
         return ds.map_batches(

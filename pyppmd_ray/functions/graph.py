@@ -82,7 +82,16 @@ def connected_components(
 
     prev_sum = _label_sum(labels)
     if prev_sum is None:  # no edges at all → no components to label
-        return labels
+        # return a TYPED empty dataset — the raw empty one has no schema,
+        # which crashes downstream joins (.schema() is None)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "lbl": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def relabel(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["src"], "lbl": batch["lbl"]})

@@ -76,9 +76,11 @@ def prepare_corpus_neardup(
         return pa.table({"drop_id": batch["node"].filter(keep)})
 
     drop = cc.map_batches(losers, batch_format="pyarrow")
+    # broadcast the drop list only while it is small (it scales with the
+    # number of near-duplicates); cc is materialized → count() is cheap
     kept = hash_join(
         deduped, drop, on="doc_id", right_on="drop_id", how="anti",
-        broadcast=True,
+        broadcast=cc.count() <= 5_000_000,
     )
     scorer = QualityScorer()
 

@@ -29,15 +29,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .text import TOKEN_SPLIT_RE, TOKEN_STRIP_CHARS
-
-
-def _token_counts(batch: pa.Table, text_col: str) -> np.ndarray:
-    col = pc.fill_null(batch[text_col], "")
-    trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
-    seps = np.asarray(pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE), dtype=np.int64)
-    tlen = np.asarray(pc.utf8_length(trimmed), dtype=np.int64)
-    return np.where(tlen == 0, 0, seps + 1)
+from .text import token_counts
 
 
 def pack_sequences(
@@ -54,7 +46,7 @@ def pack_sequences(
         return pa.table(
             {
                 id_col: pc.cast(batch[id_col], pa.int64()),
-                "n_tokens": pa.array(_token_counts(batch, text_col), type=pa.int64()),
+                "n_tokens": pa.array(token_counts(batch[text_col]), type=pa.int64()),
             }
         )
 

@@ -162,6 +162,9 @@ def quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     ids, prices in cents...); for unbounded continuous columns use
     :func:`kmv_distinct`-style sketching instead.
 
+    Quantiles are over the NON-NULL values (nulls are excluded from both
+    the histogram and n, matching SQL aggregate semantics).
+
     Returns (q, value) float64 rows, matching a SQL
     ``min(v) WHERE cum >= ceil(q*n)`` oracle bit-for-bit (identical IEEE
     multiply + ceil on both sides)."""
@@ -171,6 +174,8 @@ def quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     )
     v = tbl[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
     c = tbl["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ~np.isnan(v)  # the null group comes back as NaN
+    v, c = v[keep], c[keep]
     order = np.argsort(v, kind="stable")
     v, c = v[order], c[order]
     cum = np.cumsum(c)

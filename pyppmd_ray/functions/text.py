@@ -32,23 +32,28 @@ _STOPWORDS = {
 }
 
 
+def token_counts(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized whitespace token counts — THE engine's single token
+    definition (token = maximal run of non-[ \\t\\n\\r]), shared by
+    TokenCounter, QualityScorer and pack_sequences so the three can never
+    drift from each other or from the SQL oracle expression."""
+    col = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
+    seps = np.asarray(pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE), dtype=np.int64)
+    tlen = np.asarray(pc.utf8_length(trimmed), dtype=np.int64)
+    return np.where(tlen == 0, 0, seps + 1)
+
+
 class TokenCounter:
     """(doc_id, n_tokens) — token = maximal run of non-[ \\t\\n\\r]."""
 
-    def __init__(self):
-        self.splitter = re.compile(TOKEN_SPLIT_RE)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # vectorized: n_tokens = (# of separator runs in trimmed text) + 1
-        col = pc.fill_null(batch["text"], "")
-        trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
-        seps = pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE)
-        counts = pc.if_else(
-            pc.equal(pc.utf8_length(trimmed), 0),
-            pa.scalar(0, type=pa.int64()),
-            pc.add(pc.cast(seps, pa.int64()), 1),
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(token_counts(batch["text"]), type=pa.int64()),
+            }
         )
-        return pa.table({"doc_id": batch["doc_id"], "n_tokens": counts})
 
 
 # word char class for lang-id stopword matching — shared VERBATIM with the
@@ -146,13 +151,10 @@ class QualityScorer:
         n = np.asarray(pc.utf8_length(col), dtype=np.int64)
         trimmed = pc.utf8_trim(col, characters=TOKEN_STRIP_CHARS)
         tlen = np.asarray(pc.utf8_length(trimmed), dtype=np.int64)
-        sep_runs = np.asarray(
-            pc.count_substring_regex(trimmed, TOKEN_SPLIT_RE), dtype=np.int64
-        )
         sep_chars = np.asarray(
             pc.count_substring_regex(trimmed, "[ \t\n\r]"), dtype=np.int64
         )
-        n_tokens = np.where(tlen == 0, 0, sep_runs + 1)
+        n_tokens = token_counts(col)  # the shared token definition
         sum_tok_len = tlen - sep_chars  # token chars = trimmed minus separators
         alpha = np.asarray(pc.count_substring_regex(col, ALPHA_RE), dtype=np.int64)
         punct = np.asarray(pc.count_substring_regex(col, PUNCT_RE), dtype=np.int64)

@@ -75,6 +75,24 @@ def default_concurrency() -> tuple[int, int]:
     return (1, max(2, cpus - 2))  # leave slots for read/write stages
 
 
+def plan_sample_table(
+    sample: pa.Table, target_block_bytes: int = DEFAULT_BLOCK_BYTES
+) -> tuple[dict | None, int | None]:
+    """(hints, batch_rows) from an already-materialized sample table —
+    the single planning kernel shared by :func:`plan_dataset_hints` and
+    any deterministic external sampler (bench.py reads its sample with
+    pyarrow directly)."""
+    from ..codecs.select import plan_table
+    from ..stages.blocks import table_uncompressed_bytes
+
+    if sample.num_rows == 0:
+        return None, None
+    avg_row = max(1, table_uncompressed_bytes(sample) // sample.num_rows)
+    batch_rows = int(min(1 << 16, max(256, target_block_bytes // avg_row)))
+    sub = split_by_bytes(sample, 2 << 20)
+    return (plan_table(sub[0]) if sub else None), batch_rows
+
+
 def plan_dataset_hints(
     ds: rd.Dataset,
     columns: list[str] | None = None,
@@ -94,23 +112,15 @@ def plan_dataset_hints(
     rows at different cluster sizes, so the chosen plan can vary across
     RUNS (within one job the plan is computed once and broadcast —
     retries stay consistent). For a run-reproducible plan, sample the
-    input yourself (e.g. pyarrow read of the first fragment) and pass
-    ``hints=`` explicitly, as bench.py does."""
-    from ..codecs.select import plan_table
-    from ..stages.blocks import table_uncompressed_bytes
-
+    input yourself (e.g. pyarrow read of the first fragment) and call
+    :func:`plan_sample_table`, as bench.py does."""
     try:
         sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
     except Exception:
         return None, None
     if columns:
         sample = sample.select(columns)
-    if sample.num_rows == 0:
-        return None, None
-    avg_row = max(1, table_uncompressed_bytes(sample) // sample.num_rows)
-    batch_rows = int(min(1 << 16, max(256, target_block_bytes // avg_row)))
-    sub = split_by_bytes(sample, 2 << 20)
-    return (plan_table(sub[0]) if sub else None), batch_rows
+    return plan_sample_table(sample, target_block_bytes)
 
 
 def encode_dataset(

@@ -898,3 +898,51 @@ class TestTrainedBpe:
                 len(apply_bpe(w, ranks)) for w in _WORD_RE.findall(texts[row["doc_id"]] or "")
             )
             assert row["n_bpe_tokens"] == want
+
+    def test_clusters_empty_pairs_end_to_end(self):
+        """Review regression: zero near-dup pairs must yield every doc as
+        its own singleton cluster, not crash on a schema-less dataset."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+        from pyppmd_ray.functions.graph import connected_components
+        from pyppmd_ray.functions.relational import hash_join
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(10), type=pa.int64()),
+                "text": [
+                    f"unique doc {i} " + " ".join(f"w{i}{j}" for j in range(30))
+                    for i in range(10)
+                ],
+            }
+        )
+        ds = rd.from_arrow(docs)
+        cc = connected_components(minhash_lsh_pairs(ds, threshold=0.9))
+        joined = hash_join(
+            ds.select_columns(["doc_id"]), cc, on="doc_id", right_on="node",
+            how="left", broadcast=True,
+        )
+        out = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "cluster_id": pc.cast(pc.coalesce(b["lbl"], b["doc_id"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert len(out) == 10 and (out["doc_id"] == out["cluster_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantilesNulls:
+    def test_quantiles_exclude_nulls(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import quantiles
+
+        t = pa.table({"v": pa.array([1.0] * 5 + [2.0] * 5 + [None] * 30)})
+        out = quantiles(rd.from_arrow(t), "v", [0.5, 1.0]).to_pylist()
+        assert out == [{"q": 0.5, "value": 1.0}, {"q": 1.0, "value": 2.0}]
