@@ -528,6 +528,23 @@ def _q_quality(sf_dir: str):
     return _ds(sf_dir, "documents").map_batches(QualityScorer(), batch_format="pyarrow")
 
 
+def _q_pii_scan(sf_dir: str):
+    """PII screening: per-doc counts of emails / IPv4s / phone numbers via
+    vectorized regex kernels (patterns shared verbatim with the oracle)."""
+    from pyppmd_ray.functions.text import PiiScanner
+
+    return _ds(sf_dir, "documents").map_batches(PiiScanner(), batch_format="pyarrow")
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction: typed placeholders substituted in one vectorized
+    regex pass per category — redacted text is SQL-reproducible."""
+    from pyppmd_ray.functions.text import redact_pii
+
+    out = _ds(sf_dir, "documents").map_batches(redact_pii, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text"])
+
+
 def _q_winnow(sf_dir: str):
     from pyppmd_ray.functions.text import WinnowFingerprinter
 
@@ -757,6 +774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "winnow_fingerprints": _q_winnow,
+        "pii_scan": _q_pii_scan,
+        "pii_redact": _q_pii_redact,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
@@ -1408,6 +1427,24 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "pii_scan": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}')) AS BIGINT) AS n_phones "
+            "FROM documents"
+        ),
+        "pii_redact": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), "
+            "'\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}', '<PHONE>', 'g') "
+            "AS text FROM documents"
+        ),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_sql(),
         "embedding_quantize": _quantize_sql(),

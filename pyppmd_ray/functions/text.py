@@ -263,3 +263,50 @@ class WinnowFingerprinter:
                 "fp_xor": pa.array(fp_xor, type=pa.int64()),
             }
         )
+
+
+# --------------------------------------------------------- PII curation
+
+# Concrete RE2-safe patterns shared VERBATIM with the SQL oracle (no
+# lookarounds — RE2/DuckDB compatible; boundaries are explicit classes)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+)
+PII_PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}"
+
+
+class PiiScanner:
+    """(doc_id, n_emails, n_ipv4, n_phones) — per-document PII hit counts
+    via vectorized Arrow regex kernels; the standard pre-training privacy
+    screen (flag or route documents before redaction)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(col, PII_EMAIL_RE), pa.int64()
+                ),
+                "n_ipv4": pc.cast(
+                    pc.count_substring_regex(col, PII_IPV4_RE), pa.int64()
+                ),
+                "n_phones": pc.cast(
+                    pc.count_substring_regex(col, PII_PHONE_RE), pa.int64()
+                ),
+            }
+        )
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace PII spans with typed placeholder tokens — one vectorized
+    replace_substring_regex pass per category, same non-overlapping scan
+    DuckDB's regexp_replace(..., 'g') performs, so the redacted text is
+    SQL-reproducible byte-for-byte."""
+    col = pc.fill_null(batch[text_col], "")
+    col = pc.replace_substring_regex(col, PII_EMAIL_RE, "<EMAIL>")
+    col = pc.replace_substring_regex(col, PII_IPV4_RE, "<IP>")
+    col = pc.replace_substring_regex(col, PII_PHONE_RE, "<PHONE>")
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, col)

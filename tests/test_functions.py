@@ -946,3 +946,28 @@ class TestQuantilesNulls:
         t = pa.table({"v": pa.array([1.0] * 5 + [2.0] * 5 + [None] * 30)})
         out = quantiles(rd.from_arrow(t), "v", [0.5, 1.0]).to_pylist()
         assert out == [{"q": 0.5, "value": 1.0}, {"q": 1.0, "value": 2.0}]
+
+
+class TestPii:
+    def test_scan_and_redact(self):
+        from pyppmd_ray.functions.text import PiiScanner, redact_pii
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": [
+                    "mail me at jo.doe+x@test-site.org or 10.0.0.1, "
+                    "call +1 555 123 4567 please",
+                    "no pii here",
+                ],
+            }
+        )
+        scan = PiiScanner()(t)
+        assert scan["n_emails"].to_pylist() == [1, 0]
+        assert scan["n_ipv4"].to_pylist() == [1, 0]
+        assert scan["n_phones"].to_pylist() == [1, 0]
+        red = redact_pii(t)
+        assert red["text"][0].as_py() == (
+            "mail me at <EMAIL> or <IP>, call <PHONE> please"
+        )
+        assert red["text"][1].as_py() == "no pii here"
