@@ -218,6 +218,17 @@ def _q_documents_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _q_documents_stratified(sf_dir: str):
+    """Stratified sampling: per-language keep rates (en 0.5, de 0.25,
+    others dropped) — the language-rebalancing shape."""
+    from pyppmd_ray.functions.sample import stratified_sample
+
+    out = stratified_sample(
+        _ds(sf_dir, "documents"), {"en": 0.5, "de": 0.25}, group_col="lang"
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def _q_orders_topk(sf_dir: str):
     """Global top-10 orders by price — per-block local top-k + driver
     merge, no global sort."""
@@ -792,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_lineitem": _q_orders_semi,
         "orders_anti_lineitem": _q_orders_anti,
         "documents_sample": _q_documents_sample,
+        "documents_stratified_sample": _q_documents_stratified,
         "orders_topk_price": _q_orders_topk,
         "documents_distinct_text": _q_distinct_text,
         "documents_kmv_distinct": _q_kmv_distinct,
@@ -1312,6 +1324,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
             "% 4294967296 < 1073741824"
+        ),
+        "documents_stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            "% 4294967296 < CASE lang WHEN 'en' THEN 2147483648 "
+            "WHEN 'de' THEN 1073741824 ELSE 0 END"
         ),
         "orders_topk_price": (
             "SELECT o_orderkey, o_totalprice FROM orders "

@@ -90,3 +90,30 @@ def topk(
         return tbl
     order = sort_cols(tbl)[:k]
     return tbl.take(pa.array(order))
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    *,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-group Bernoulli rates (e.g. downsample dominant languages,
+    upweight rare ones): keep a row iff sha256(str(key)) % 2^32 <
+    rate[group] * 2^32. Same deterministic, shuffle-free, rerun-stable
+    filter as :func:`hash_sample`, with the rate chosen by the row's
+    group (groups absent from ``rates`` are dropped — rate 0)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    cuts = {g: np.uint64(int(r * SAMPLE_DENOM)) for g, r in rates.items()}
+    zero = np.uint64(0)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _key_u64(batch[key_col].to_pylist()) % np.uint64(SAMPLE_DENOM)
+        groups = batch[group_col].to_pylist()
+        cut = np.array([cuts.get(g, zero) for g in groups], dtype=np.uint64)
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
