@@ -79,6 +79,26 @@ def _lane_count(n: int) -> int:
     return max(1, min(8192, n // 700)) if n else 1
 
 
+def _division_magic(f_tab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-symbol (multiplier, shift) such that x // f == (x*m) >> s for
+    every dividend the encoder can present (renorm keeps x < f·2^20):
+    s = 20 + 2·ceil(log2 f), m = ceil(2^s / f). Exactness (Granlund &
+    Montgomery, Thm 4.2): m·f − 2^s ≤ f−1 ≤ 2^s/B with B = f·2^20 ⇔
+    f(f−1) ≤ 2^(2·ceil(log2 f)), true for all f; the u64 product is
+    bounded by (2^32−1)·2^32 < 2^64. Zero-freq slots (never encoded) get
+    a dummy divisor of 1."""
+    f = f_tab.astype(np.int64)
+    safe = np.maximum(f, 1)
+    l = np.zeros_like(safe)
+    v = safe - 1
+    while (v > 0).any():
+        l[v > 0] += 1
+        v >>= 1
+    s = (20 + 2 * l).astype(_U64)
+    m = ((np.int64(1) << (20 + 2 * l)).astype(np.uint64) + safe.astype(_U64) - _U64(1)) // safe.astype(_U64)
+    return m, s
+
+
 def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, int]:
     """Encode uint8/uint16 symbols with quantized ``freqs`` (sum == M,
     every freq <= M-1 — see :func:`cap_full_freq`).
@@ -98,6 +118,9 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
     start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(_U32)
     fa = f_tab[sym]
     sa = start_tab[sym]
+    m_tab, s_tab = _division_magic(f_tab)
+    ma = m_tab[sym]
+    sha = s_tab[sym]
 
     states = np.full(N, RANS_L, dtype=_U32)
     T = -(-n // N) if n else 0
@@ -119,7 +142,10 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
             # decoder refills lanes in ascending order within the step
             chunks.append((x[need] & w_mask).astype(np.uint16))
             x = np.where(need, x >> shift, x)
-        q = x // f
+        # exact division by magic multiply (numpy integer '//' is a scalar
+        # loop; the renorm invariant x < f·2^20 bounds the dividend so the
+        # u64 product cannot overflow — see _division_magic)
+        q = ((x.astype(_U64) * ma[lo : lo + N]) >> sha[lo : lo + N]).astype(_U32)
         nx = (q << pbits) + (x - q * f) + st
         if nx.size < N:
             states = states.copy()

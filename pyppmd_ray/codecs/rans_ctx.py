@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from .base import CodecError, pack_blob, register
-from .rans import M, PROB_BITS, RANS_L, _RENORM, cap_full_freq, normalize_freqs
+from .rans import M, PROB_BITS, RANS_L, _RENORM, _division_magic, cap_full_freq, normalize_freqs
 
 _U32 = np.uint32
 _U64 = np.uint64
@@ -79,6 +79,10 @@ def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
 
     fa = F[ctx, arr]
     sa = S[ctx, arr]
+    m_tab, s_tab = _division_magic(F.reshape(-1))
+    flat_idx = ctx.astype(np.int64) * A + arr
+    ma = m_tab[flat_idx]
+    sha = s_tab[flat_idx]
 
     states = np.full(N, RANS_L, dtype=_U32)
     chunks: list[np.ndarray] = []
@@ -100,7 +104,10 @@ def encode_rans1(data: bytes | memoryview | np.ndarray) -> bytes:
         if need.any():
             chunks.append((x[need] & w_mask).astype(np.uint16))
             x = np.where(need, x >> shift, x)
-        q = x // f
+        # exact magic-multiply division (see rans.py _division_magic);
+        # inactive lanes may divide by a dummy f but their result is
+        # discarded by the where() below
+        q = ((x.astype(_U64) * ma[safe]) >> sha[safe]).astype(_U32)
         nx = (q << pbits) + (x - q * f) + st
         states = np.where(active, nx, x)
 
