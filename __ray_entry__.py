@@ -752,24 +752,34 @@ def _q_chunking_invariance(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering note: the round driver checks the FIRST 50 entries against
+    # oracle_sql(); entries past 50 get no driver row that round. Queries
+    # that have never (or not recently) had a driver CORRECTNESS row lead
+    # the dict; long-stable small-table roundtrips (green in r01-r03) and
+    # the two no_oracle entries are rotated to the tail. The full set is
+    # still locally oracle-checked by tests/test_queries.py regardless of
+    # position.
     return {
-        # compression engine round-trips (per-column codecs over every type)
+        # --- never / stale driver-checked (r4 priority block) ---
+        "lineitem_quantiles": _q_lineitem_quantiles,
+        "events_windowed": _q_events_windowed,
+        "events_windowed_sliding": _q_events_windowed_sliding,
+        "events_windowed_watermark": _q_events_windowed_watermark,
+        "asof_events_orders": _q_asof_events_orders,
+        "asof_events_orders_salted": _q_asof_salted,
+        "prepare_corpus": _q_prepare_corpus,
+        "prepare_corpus_neardup": _q_prepare_corpus_neardup,
+        "multimodal_meta": _q_multimodal,
+        "multimodal_pixels": _q_multimodal_pixels,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_video,
+        # compression engine round-trips (flagship tables; the remaining
+        # per-table roundtrips are in the tail block)
         "roundtrip_documents": _q_roundtrip("documents"),
         "roundtrip_lineitem": _q_roundtrip("lineitem"),
-        "roundtrip_orders": _q_roundtrip("orders"),
-        "roundtrip_events": _q_roundtrip("events"),
-        "roundtrip_customer": _q_roundtrip("customer"),
-        "roundtrip_part": _q_roundtrip("part"),
-        "roundtrip_embeddings": _q_roundtrip("embeddings"),
-        "roundtrip_nation": _q_roundtrip("nation"),
-        "roundtrip_region": _q_roundtrip("region"),
-        "roundtrip_supplier": _q_roundtrip("supplier"),
         "roundtrip_documents_projected": _q_roundtrip_projected,
-        "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
-        "roundtrip_decimal": _q_roundtrip_decimal,
         "chunking_invariance": _q_chunking_invariance,
         "roundtrip_partitioned": _q_roundtrip_partitioned,
-        "compression_by_lang": _q_compression_by_lang,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_pairs,
@@ -793,7 +803,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count_bpe": _q_token_count_bpe,
-        "token_count_bpe_trained": _q_bpe_trained,
         "pack_sequences": _q_pack_sequences,
         # aggregates / relational / pipeline ops
         "events_by_type": _q_events_by_type,
@@ -808,19 +817,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_distinct_text": _q_distinct_text,
         "documents_kmv_distinct": _q_kmv_distinct,
         "lineitem_profile": _q_lineitem_profile,
-        "lineitem_quantiles": _q_lineitem_quantiles,
-        "events_windowed": _q_events_windowed,
-        "events_windowed_sliding": _q_events_windowed_sliding,
-        "events_windowed_watermark": _q_events_windowed_watermark,
-        "asof_events_orders": _q_asof_events_orders,
-        "asof_events_orders_salted": _q_asof_salted,
-        "prepare_corpus": _q_prepare_corpus,
-        "prepare_corpus_neardup": _q_prepare_corpus_neardup,
-        # multimodal plumbing + real pixel decode
-        "multimodal_meta": _q_multimodal,
-        "multimodal_pixels": _q_multimodal_pixels,
-        "multimodal_audio": _q_multimodal_audio,
-        "multimodal_video_frames": _q_multimodal_video,
+        # --- tail block: stable since r01/r02 (rotated past the driver's
+        # 50-query window to make room above; still locally oracle-tested)
+        "roundtrip_orders": _q_roundtrip("orders"),
+        "roundtrip_events": _q_roundtrip("events"),
+        "roundtrip_customer": _q_roundtrip("customer"),
+        "roundtrip_part": _q_roundtrip("part"),
+        "roundtrip_embeddings": _q_roundtrip("embeddings"),
+        "roundtrip_nation": _q_roundtrip("nation"),
+        "roundtrip_region": _q_roundtrip("region"),
+        "roundtrip_supplier": _q_roundtrip("supplier"),
+        "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
+        "roundtrip_decimal": _q_roundtrip_decimal,
+        "compression_by_lang": _q_compression_by_lang,  # no_oracle
+        "token_count_bpe_trained": _q_bpe_trained,  # no_oracle
     }
 
 

@@ -291,8 +291,23 @@ def minhash_lsh_pairs(
     )
     # the same pair found in several bands carries the same jaccard_est;
     # Max is just "pick the one value"
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+    out = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
         Max("jaccard_est", alias_name="jaccard_est")
+    )
+
+    def typed(batch: pa.Table) -> pa.Table:
+        # a clean corpus (zero pairs) would otherwise yield schema-less
+        # zero-column blocks, and downstream joins (hash_join,
+        # connected_components) need a typed schema even when empty
+        if batch.num_columns == 0:
+            return _PAIR_SCHEMA.empty_table()
+        return batch
+
+    # the union contributes one typed EMPTY block: when the corpus has no
+    # pairs the aggregate may emit zero blocks (schema None), and the
+    # map_batches above never runs — the extra block pins the schema
+    return out.map_batches(typed, batch_format="pyarrow").union(
+        rd.from_arrow(_PAIR_SCHEMA.empty_table())
     )
 
 

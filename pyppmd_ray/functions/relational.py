@@ -304,6 +304,50 @@ def asof_join(
 
 # ------------------------------------------------------------- equi-join
 
+# rows per yielded cross-product chunk in the shuffle join's merge — caps
+# a hot key's peak in-worker table at ~chunk_rows regardless of how many
+# matching row pairs the key owns
+JOIN_CHUNK_ROWS = 1 << 20
+
+
+def _streaming_map_groups(
+    ds: rd.Dataset, keys: list[str], gen_udf, empty_table: pa.Table | None = None
+) -> rd.Dataset:
+    """``groupby(keys).map_groups`` variant whose UDF is a GENERATOR
+    yielding zero or more tables per group, so a single group's output
+    streams to the object store in bounded chunks instead of
+    materializing at once. Mirrors Ray's own map_groups plumbing
+    (grouped_data.py: shuffle → per-block sorted-group slicing) — Ray's
+    public map_groups validates the UDF return and rejects generators."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    if ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+        shuffled = ds.repartition(
+            ctx.default_hash_shuffle_parallelism, keys=keys, sort=True
+        )
+    else:
+        shuffled = ds.sort(keys)
+
+    def flatten_groups(block: pa.Table):
+        emitted = False
+        if block.num_rows:
+            from ray.data.block import BlockAccessor
+
+            acc = BlockAccessor.for_block(block)
+            bounds = acc._get_group_boundaries_sorted(keys)
+            for start, end in zip(bounds[:-1], bounds[1:]):
+                for out in gen_udf(block.slice(start, end - start)):
+                    emitted = True
+                    yield out
+        if not emitted and empty_table is not None:
+            # keep the result TYPED even when no group produced rows
+            yield empty_table
+
+    return shuffled.map_batches(
+        flatten_groups, batch_size=None, batch_format="pyarrow"
+    )
+
 
 @ray.remote
 def _concat_remote(*tables: pa.Table) -> pa.Table:
@@ -330,14 +374,20 @@ class _BroadcastJoiner(_LazyBC):
     instance pickles only the ObjectRef; the table is fetched lazily once
     per worker process (:class:`..broadcast.LazyBroadcast`)."""
 
-    def __init__(self, ref, keys, right_keys, join_type, right_suffix="_r"):
+    def __init__(self, ref, keys, right_keys, join_type, empty_out, right_suffix="_r"):
         super().__init__(ref)
         self.keys = keys
         self.right_keys = right_keys
         self.join_type = join_type
         self.right_suffix = right_suffix
+        # precomputed typed-empty OUTPUT table: zero-column placeholder
+        # blocks (Ray emits schema-less empties from some operator
+        # chains) can't go through batch.join — map them to this instead
+        self.empty_out = empty_out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return self.empty_out
         return batch.join(
             self.state,
             keys=self.keys,
@@ -345,6 +395,66 @@ class _BroadcastJoiner(_LazyBC):
             join_type=self.join_type,
             right_suffix=self.right_suffix,
         )
+
+
+def _join_untyped_empty(
+    left, right, lschema, rschema, lkeys, rkeys, how, left_columns, right_columns
+):
+    """Resolve a join where one side is a schema-less EMPTY dataset (all
+    blocks are zero-column placeholders). The empty side contributes no
+    rows and no knowable column types, so the result is derived from the
+    typed side alone; if the caller requested value columns from the
+    untyped side we cannot type the output and fail loudly."""
+    if lschema is None and rschema is None:
+        raise ValueError(
+            "hash_join: both inputs are schema-less empty datasets; "
+            "materialize at least one side as a typed empty (e.g. "
+            "ray.data.from_arrow(schema.empty_table()))"
+        )
+    if lschema is None:
+        if left_columns:
+            raise ValueError(
+                "hash_join: left side is a schema-less empty dataset, so "
+                f"left_columns={left_columns!r} cannot be typed; pass a "
+                "typed empty left dataset instead"
+            )
+        # empty left → empty result for every `how`; schema = keys (typed
+        # from the right side's key columns) + right value columns
+        rfield = dict(zip(rschema.names, rschema.types))
+        rval = right_columns if right_columns is not None else [
+            n for n in rschema.names if n not in rkeys
+        ]
+        if how in ("semi", "anti"):
+            rval = []
+        cols = {kn: pa.array([], type=rfield[rk]) for kn, rk in zip(lkeys, rkeys)}
+        taken = set(lkeys)
+        for c in rval:
+            cols[c if c not in taken else c + "_r"] = pa.array([], type=rfield[c])
+        return rd.from_arrow(pa.table(cols))
+    # rschema is None: empty right side
+    if right_columns:
+        raise ValueError(
+            "hash_join: right side is a schema-less empty dataset, so "
+            f"right_columns={right_columns!r} cannot be typed; pass a "
+            "typed empty right dataset instead"
+        )
+    lfield = dict(zip(lschema.names, lschema.types))
+    lval = left_columns if left_columns is not None else [
+        n for n in lschema.names if n not in lkeys
+    ]
+    out_schema = pa.schema(
+        [(k, lfield[k]) for k in lkeys] + [(c, lfield[c]) for c in lval]
+    )
+    if how in ("inner", "semi"):
+        return rd.from_arrow(out_schema.empty_table())
+    # left / anti: every left row survives unmatched (right has no value
+    # columns to null-pad — it is schema-less)
+    def proj(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return out_schema.empty_table()
+        return batch.select(lkeys + lval)
+
+    return left.map_batches(proj, batch_format="pyarrow")
 
 
 def hash_join(
@@ -393,6 +503,15 @@ def hash_join(
         )
     lschema = left.schema()
     rschema = right.schema()
+    # schema-less inputs (a Dataset whose every block is a zero-column
+    # empty placeholder — e.g. a pair pipeline that found nothing) would
+    # crash the .names access below; resolve them to a typed result where
+    # derivable, else fail with an actionable message
+    if lschema is None or rschema is None:
+        return _join_untyped_empty(
+            left, right, lschema, rschema, lkeys, rkeys, how,
+            left_columns, right_columns,
+        )
     lval = left_columns if left_columns is not None else [
         n for n in lschema.names if n not in lkeys
     ]
@@ -418,9 +537,22 @@ def hash_join(
             {c: pa.array([], type=rfield_all[c]) for c in rkeys + rval}
         )
         ref = _concat_remote.remote(fallback, *proj.to_arrow_refs())
-        joiner = _BroadcastJoiner(ref, lkeys, rkeys, _JOIN_TYPE[how])
+        # exact output schema for placeholder blocks: run the SAME Arrow
+        # join on a typed-empty left against the typed-empty right
+        lnames = (lkeys + lval) if left_columns is not None else list(lschema.names)
+        lfield_all = dict(zip(lschema.names, lschema.types))
+        empty_left = pa.table({c: pa.array([], type=lfield_all[c]) for c in lnames})
+        empty_out = empty_left.join(
+            fallback, keys=lkeys, right_keys=rkeys,
+            join_type=_JOIN_TYPE[how], right_suffix="_r",
+        )
+        joiner = _BroadcastJoiner(ref, lkeys, rkeys, _JOIN_TYPE[how], empty_out)
         lds = left.select_columns(lkeys + lval) if left_columns is not None else left
-        return lds.map_batches(joiner, batch_format="pyarrow")
+        # the extra typed-empty block pins the output schema even when
+        # every joined block is empty (Ray reports schema None otherwise)
+        return lds.map_batches(joiner, batch_format="pyarrow").union(
+            rd.from_arrow(empty_out)
+        )
 
     # ---- shuffle path: tag + union over a common null-padded schema
     # (ray.data Schema exposes parallel .names/.types, not pa.Schema iteration)
@@ -501,31 +633,39 @@ def hash_join(
     lout_names = lkeys + lval
     rout_names = [oc for _, oc in rout]
 
-    def merge(group: pa.Table) -> pa.Table:
+    def merge(group: pa.Table):
+        """Generator: yields the group's join output in chunks of at most
+        ~JOIN_CHUNK_ROWS rows, so a skewed key (10^5 × 10^4 matches) never
+        materializes its full cross product in one worker table — the
+        auto-guard counterpart to the opt-in ``salt=`` remedy (which
+        additionally spreads a hot key's COMPUTE across workers)."""
         side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
         if li.size == 0:
-            return out_schema.empty_table()
+            return
         if how in ("semi", "anti"):
             want = (ri.size > 0) if how == "semi" else (ri.size == 0)
-            if not want:
-                return out_schema.empty_table()
-            return group.take(pa.array(li)).select(lout_names).cast(out_schema)
-        if ri.size == 0 and how == "inner":
-            return out_schema.empty_table()
-        if ri.size == 0:  # left join, no match: right cols stay null
-            return group.take(pa.array(li)).select(
-                lout_names + rout_names
-            ).cast(out_schema)
-        idx_l = np.repeat(li, ri.size)
-        idx_r = np.tile(ri, li.size)
-        lt = group.take(pa.array(idx_l)).select(lout_names)
-        rt = group.take(pa.array(idx_r)).select(rout_names)
-        cols = {n: lt[n] for n in lout_names}
-        cols.update({n: rt[n] for n in rout_names})
-        return pa.table(cols).cast(out_schema)
+            if want:
+                yield group.take(pa.array(li)).select(lout_names).cast(out_schema)
+            return
+        if ri.size == 0:
+            if how == "left":  # no match: right cols stay null
+                yield group.take(pa.array(li)).select(
+                    lout_names + rout_names
+                ).cast(out_schema)
+            return
+        lstep = max(1, JOIN_CHUNK_ROWS // ri.size)
+        for s in range(0, li.size, lstep):
+            lchunk = li[s : s + lstep]
+            idx_l = np.repeat(lchunk, ri.size)
+            idx_r = np.tile(ri, lchunk.size)
+            lt = group.take(pa.array(idx_l)).select(lout_names)
+            rt = group.take(pa.array(idx_r)).select(rout_names)
+            cols = {n: lt[n] for n in lout_names}
+            cols.update({n: rt[n] for n in rout_names})
+            yield pa.table(cols).cast(out_schema)
 
-    return unioned.groupby(lkeys + ["_salt"]).map_groups(
-        merge, batch_format="pyarrow"
+    return _streaming_map_groups(
+        unioned, lkeys + ["_salt"], merge, empty_table=out_schema.empty_table()
     )

@@ -68,7 +68,18 @@ def topk(
 
     def sort_cols(batch: pa.Table):
         v = batch[by].combine_chunks().to_numpy(zero_copy_only=False)
-        key = v if ascending else -v
+        if ascending:
+            key = v
+        else:
+            # descending WITHOUT negation: -v wraps for unsigned dtypes
+            # and overflows for INT64_MIN; a dense rank flipped around its
+            # max is order-equivalent and safe for every dtype
+            _, inv = np.unique(v, return_inverse=True)
+            key = inv.max() - inv if inv.size else inv
+            if v.dtype.kind == "f":
+                nan = np.isnan(v)
+                if nan.any():  # NaN sorts last in either direction
+                    key[nan] = inv.max() + 1
         if tie_by is not None:
             t = batch[tie_by].combine_chunks().to_numpy(zero_copy_only=False)
             order = np.lexsort((t, key))

@@ -220,7 +220,11 @@ def decode_dataset(
     if concurrency is not None:
         return encoded.map_batches(
             DecoderActor,
-            fn_constructor_kwargs={"columns": columns},
+            fn_constructor_kwargs={
+                "columns": columns,
+                "on_error": on_error,
+                "quarantine_dir": quarantine_dir,
+            },
             batch_format="pyarrow",
             batch_size=None,
             concurrency=concurrency,

@@ -146,10 +146,24 @@ class EncoderActor:
 
 
 class DecoderActor:
-    """Actor-pool variant of :func:`decode_batches`."""
+    """Actor-pool variant of :func:`decode_batches` (same error policy:
+    the quarantine contract must hold whether or not the caller chose an
+    actor pool)."""
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        on_error: str = "raise",
+        quarantine_dir: str | None = None,
+    ):
         self.columns = columns
+        self.on_error = on_error
+        self.quarantine_dir = quarantine_dir
 
     def __call__(self, batch: pa.Table):
-        yield from decode_batches(batch, columns=self.columns)
+        yield from decode_batches(
+            batch,
+            columns=self.columns,
+            on_error=self.on_error,
+            quarantine_dir=self.quarantine_dir,
+        )

@@ -971,3 +971,171 @@ class TestPii:
             "mail me at <EMAIL> or <IP>, call <PHONE> please"
         )
         assert red["text"][1].as_py() == "no pii here"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound4Regressions:
+    """Regression tests for the round-3 ADVICE findings and the round-4
+    skew/typed-empty hardening."""
+
+    def _docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(8), type=pa.int64()),
+                "text": [
+                    f"completely distinct document number {i} with words "
+                    f"{i * 7} {i * 13} unique token{i}"
+                    for i in range(8)
+                ],
+            }
+        )
+
+    def test_minhash_pairs_typed_on_clean_corpus(self):
+        """A corpus with zero near-dup pairs must still yield a TYPED
+        (doc_id_a, doc_id_b, jaccard_est) dataset — downstream joins and
+        connected_components crash on schema-less empties."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(rd.from_arrow(self._docs()))
+        s = pairs.schema()
+        assert s is not None
+        assert s.names == ["doc_id_a", "doc_id_b", "jaccard_est"]
+        assert pairs.count() == 0
+
+    def test_verified_pipeline_on_clean_corpus(self):
+        """The dedup_minhash_verified shape (pairs ⋈ texts) must survive a
+        clean corpus on BOTH join paths."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import minhash_lsh_pairs
+        from pyppmd_ray.functions.relational import hash_join
+
+        docs = rd.from_arrow(self._docs())
+        pairs = minhash_lsh_pairs(rd.from_arrow(self._docs()))
+        for bc in (True, False):
+            j = hash_join(
+                pairs, docs, on="doc_id_a", right_on="doc_id", how="inner",
+                broadcast=bc,
+            )
+            assert j.count() == 0
+            s = j.schema()
+            assert s is not None and "text" in s.names, (bc, s)
+
+    def test_hash_join_untyped_empty_sides(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        docs = rd.from_arrow(self._docs())
+        untyped = rd.from_arrow(pa.table({"a": [1]})).map_batches(
+            lambda b: pa.table({}), batch_format="pyarrow"
+        )
+        assert untyped.schema() is None
+        # untyped LEFT: empty result typed from the right side
+        j = hash_join(untyped, docs, on="doc_id_a", right_on="doc_id", how="inner")
+        assert j.count() == 0
+        assert j.schema().names == ["doc_id_a", "text"]
+        # untyped RIGHT: anti keeps every left row, inner is typed empty
+        j2 = hash_join(docs, untyped, on="doc_id", right_on="k", how="anti")
+        assert j2.count() == 8
+        j3 = hash_join(docs, untyped, on="doc_id", right_on="k", how="inner")
+        assert j3.count() == 0
+        assert j3.schema().names == ["doc_id", "text"]
+        # untyped BOTH: loud error
+        with pytest.raises(ValueError, match="schema-less"):
+            hash_join(untyped, untyped, on="a", how="inner")
+
+    def test_skewed_join_without_salt_is_chunked_and_exact(self, monkeypatch):
+        """One key owning 50% of both sides must pass WITHOUT opt-in
+        salting, with the per-group cross product emitted in bounded
+        chunks (JOIN_CHUNK_ROWS) rather than one giant table."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions import relational
+
+        monkeypatch.setattr(relational, "JOIN_CHUNK_ROWS", 257)  # force chunking
+        n = 400
+        left_tbl = pa.table(
+            {
+                "k": pa.array([7] * (n // 2) + list(range(n // 2)), type=pa.int64()),
+                "lv": pa.array(range(n), type=pa.int64()),
+            }
+        )
+        right_tbl = pa.table(
+            {
+                "k": pa.array([7] * 20 + [1, 2, 3], type=pa.int64()),
+                "rv": pa.array(range(23), type=pa.int64()),
+            }
+        )
+        out = relational.hash_join(
+            rd.from_arrow(left_tbl), rd.from_arrow(right_tbl), on="k", how="inner"
+        )
+        got = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("k", "ascending"), ("lv", "ascending"), ("rv", "ascending")])
+        import duckdb
+
+        want = duckdb.sql(
+            "SELECT l.k, lv, rv FROM left_tbl l JOIN right_tbl r USING (k) "
+            "ORDER BY k, lv, rv"
+        ).arrow().cast(got.schema)
+        assert got.equals(want)
+
+    def test_topk_descending_unsigned_and_int64min(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import topk
+
+        tu = pa.table(
+            {
+                "v": pa.array([1, (1 << 64) - 1, 5, 0], type=pa.uint64()),
+                "id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            }
+        )
+        got = topk(rd.from_arrow(tu), "v", 2, ascending=False, tie_by="id")
+        assert got["id"].to_pylist() == [1, 2]
+        imin = -(1 << 63)
+        ti = pa.table(
+            {
+                "v": pa.array([imin, 3, -7], type=pa.int64()),
+                "id": pa.array([0, 1, 2], type=pa.int64()),
+            }
+        )
+        got = topk(rd.from_arrow(ti), "v", 2, ascending=False, tie_by="id")
+        assert got["v"].to_pylist() == [3, -7]
+
+    def test_decode_actor_pool_quarantines(self, tmp_path):
+        """decode_dataset(concurrency=N, on_error='quarantine') must honor
+        the quarantine contract, not raise on the first corrupt block."""
+        import os
+
+        import ray.data as rd
+
+        from pyppmd_ray.fixtures import generate_source_table
+        from pyppmd_ray.pipelines.compress import decode_dataset, encode_dataset
+
+        t = generate_source_table(200, seed=11)
+        enc = pa.concat_tables(
+            encode_dataset(rd.from_arrow(t), target_block_bytes=32 << 10)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert enc.num_rows >= 2
+        payloads = enc["payload"].to_pylist()
+        bad = bytearray(payloads[0])
+        bad[5:25] = b"\x00" * 20
+        payloads[0] = bytes(bad)
+        enc = enc.set_column(
+            enc.schema.get_field_index("payload"), "payload",
+            pa.array(payloads, type=pa.large_binary()),
+        )
+        qdir = str(tmp_path / "q")
+        dec = pa.concat_tables(
+            decode_dataset(
+                rd.from_arrow(enc), concurrency=2, on_error="quarantine",
+                quarantine_dir=qdir,
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert 0 < dec.num_rows < 200
+        assert len([f for f in os.listdir(qdir) if f.endswith(".bin")]) == 1
