@@ -112,27 +112,44 @@ class BlockCompressor:
         return bytes(out)
 
     def flush(self) -> bytes:
+        """Emit the final partial block plus an explicit END-OF-STREAM
+        terminator frame (a zero-length frame — real blocks always carry a
+        non-empty blob, so ``varint 0`` is unambiguous). The terminator is
+        what flips the peer :class:`BlockDecompressor`'s ``eof``, the
+        framed analogue of the reference's endmark (`/root/reference/src/
+        ext/_ppmdmodule.c:637-655`: ``eof`` when the decoder sees
+        ``Code==0`` at the endmark symbol)."""
         if self._flushed:
             raise CodecError("compressor already flushed")
         self._flushed = True
-        if not self._buf:
-            return b""
-        blob = _ONE_SHOT[self.codec](bytes(self._buf))
-        self._buf.clear()
-        return write_uvarint(len(blob)) + blob
+        out = b""
+        if self._buf:
+            blob = _ONE_SHOT[self.codec](bytes(self._buf))
+            self._buf.clear()
+            out = write_uvarint(len(blob)) + blob
+        return out + write_uvarint(0)
 
 
 class BlockDecompressor:
     """Streaming decompressor over framed blocks; explicit framing means
     no ``needs_input`` guessing (contrast `/root/reference/src/ext/
-    _ppmdmodule.c:424-501`'s unconsumed-buffer machinery)."""
+    _ppmdmodule.c:424-501`'s unconsumed-buffer machinery). ``eof`` flips
+    exactly when the flush()-written terminator frame is consumed —
+    parity with the reference decoder's ``eof`` accessor
+    (`_ppmdmodule.c:637-655`); bytes fed after that accumulate in
+    ``unused_data``, as in the reference."""
 
     def __init__(self):
         self._buf = bytearray()
+        self._eof = False
+
+    @property
+    def eof(self) -> bool:
+        return self._eof
 
     @property
     def needs_input(self) -> bool:
-        return len(self._buf) > 0
+        return not self._eof and len(self._buf) > 0
 
     @property
     def unused_data(self) -> bytes:
@@ -140,11 +157,17 @@ class BlockDecompressor:
 
     def decompress(self, chunk: bytes | bytearray | memoryview) -> bytes:
         self._buf += bytes(chunk)
+        if self._eof:
+            return b""
         out = bytearray()
         while True:
             try:
                 blen, pos = read_uvarint(bytes(self._buf[:10]), 0)
             except CodecError:
+                break
+            if blen == 0:  # terminator frame: stream complete
+                del self._buf[:pos]
+                self._eof = True
                 break
             if len(self._buf) - pos < blen:
                 break

@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from pyppmd_ray.functions.hashing import sha256_hex
+
 _M61 = (1 << 61) - 1
 
 # token = maximal run of non-[ \t\n\r] — shared VERBATIM with the SQL oracle
@@ -58,11 +60,7 @@ def _sha_prefix_u64(s: str, nbytes: int = 8) -> int:
 
 
 def add_text_sha(batch: pa.Table, column: str = "text") -> pa.Table:
-    shas = [
-        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-        for t in batch[column].to_pylist()
-    ]
-    return batch.append_column("text_sha", pa.array(shas, type=pa.string()))
+    return batch.append_column("text_sha", sha256_hex(batch[column]))
 
 
 def dedup_exact(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
@@ -221,10 +219,33 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
-def band_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+# all-pairs verification is exact up to this bucket size; above it a
+# degenerate bucket (thousands of near-identical template docs landing on
+# one band_key) switches to sorted-neighborhood sub-banding so one bucket
+# costs O(n·window·k), never O(n²)
+BUCKET_CAP = 2048
+BUCKET_WINDOW = 64
+
+
+def band_bucket_pairs(
+    group: pa.Table,
+    threshold: float,
+    bucket_cap: int = BUCKET_CAP,
+    window: int = BUCKET_WINDOW,
+) -> pa.Table:
     """One (band_id, band_key) bucket → verified pairs. jaccard_est =
     fraction of agreeing signature positions (exact k/num_hashes — no
-    rounding, so the SQL oracle reproduces it bit-for-bit)."""
+    rounding, so the SQL oracle reproduces it bit-for-bit).
+
+    Buckets up to ``bucket_cap`` docs get exact all-pairs verification.
+    A larger (degenerate) bucket is sub-banded: docs are sorted by their
+    full signature and each doc is compared only to its next ``window``
+    neighbors, so per-bucket work is O(n·window·k) with O(n·window)
+    output. Near-identical docs have near-identical signatures and land
+    adjacent in the sort, so cluster connectivity survives; the emitted
+    jaccard_est is still the exact agreeing-position fraction — only the
+    candidate set is pruned (LSH banding is itself a pruned candidate
+    set, so this changes recall only inside pathological buckets)."""
     n = group.num_rows
     if n < 2:
         return _PAIR_SCHEMA.empty_table()
@@ -232,16 +253,32 @@ def band_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     sigs = np.stack(
         [np.frombuffer(b, dtype="<i8") for b in group["sig_bin"].to_pylist()]
     )
-    order = np.argsort(ids)
-    ids, sigs = ids[order], sigs[order]
     out_a, out_b, out_j = [], [], []
-    for i in range(n - 1):
-        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        keep = np.flatnonzero(est >= threshold)
-        for j in keep:
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[i + 1 + j]))
-            out_j.append(float(est[j]))
+    if n <= bucket_cap:
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        for i in range(n - 1):
+            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            keep = np.flatnonzero(est >= threshold)
+            for j in keep:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_j.append(float(est[j]))
+    else:
+        order = np.lexsort(sigs.T[::-1])  # lexicographic by signature
+        ids, sigs = ids[order], sigs[order]
+        for w in range(1, min(window, n - 1) + 1):
+            est = (sigs[w:] == sigs[:-w]).mean(axis=1)
+            keep = np.flatnonzero(est >= threshold)
+            if keep.size == 0:
+                continue
+            a = ids[keep]
+            b = ids[keep + w]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+            out_j.extend(est[keep].tolist())
     return pa.table(
         {
             "doc_id_a": pa.array(out_a, type=pa.int64()),
@@ -254,6 +291,7 @@ def band_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
 def minhash_lsh_pairs(
     ds: rd.Dataset, *, num_hashes: int = 128, bands: int = 16, rows: int = 8,
     shingle: int = 3, threshold: float = 0.5, concurrency=None,
+    bucket_cap: int = BUCKET_CAP, bucket_window: int = BUCKET_WINDOW,
 ) -> rd.Dataset:
     """Full MinHash-LSH near-dup pipeline → Dataset(doc_id_a, doc_id_b,
     jaccard_est), entirely in-cluster.
@@ -287,7 +325,8 @@ def minhash_lsh_pairs(
         lambda b: minhash_bands(b, bands=bands, rows=rows), batch_format="pyarrow"
     )
     pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: band_bucket_pairs(g, threshold), batch_format="pyarrow"
+        lambda g: band_bucket_pairs(g, threshold, bucket_cap, bucket_window),
+        batch_format="pyarrow",
     )
     # the same pair found in several bands carries the same jaccard_est;
     # Max is just "pick the one value"

@@ -14,29 +14,15 @@ no sampling") but every corpus pipeline needs.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 
+from pyppmd_ray.functions.hashing import sha256_prefix_u64
+
 SAMPLE_DENOM = 1 << 32
-
-
-def _key_u64(vals: list) -> np.ndarray:
-    """First 8 bytes of sha256(str(v)), big-endian — matches the oracle's
-    ('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16))::UBIGINT."""
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.sha256(str(v).encode("utf-8")).digest()[:8], "big"
-            )
-            for v in vals
-        ],
-        dtype=np.uint64,
-    )
 
 
 def hash_sample(ds: rd.Dataset, rate: float, key_col: str) -> rd.Dataset:
@@ -48,7 +34,7 @@ def hash_sample(ds: rd.Dataset, rate: float, key_col: str) -> rd.Dataset:
     cut = np.uint64(int(rate * SAMPLE_DENOM))
 
     def keep(batch: pa.Table) -> pa.Table:
-        h = _key_u64(batch[key_col].to_pylist()) % np.uint64(SAMPLE_DENOM)
+        h = sha256_prefix_u64(batch[key_col]) % np.uint64(SAMPLE_DENOM)
         return batch.filter(pa.array(h < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -122,7 +108,7 @@ def stratified_sample(
     zero = np.uint64(0)
 
     def keep(batch: pa.Table) -> pa.Table:
-        h = _key_u64(batch[key_col].to_pylist()) % np.uint64(SAMPLE_DENOM)
+        h = sha256_prefix_u64(batch[key_col]) % np.uint64(SAMPLE_DENOM)
         groups = batch[group_col].to_pylist()
         cut = np.array([cuts.get(g, zero) for g in groups], dtype=np.uint64)
         return batch.filter(pa.array(h < cut))

@@ -21,27 +21,15 @@ All three follow the pre-aggregate-before-shuffle discipline:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 
+from pyppmd_ray.functions.hashing import sha256_prefix_u64
+
 _U64_SPAN = float(1 << 64)
-
-
-def _sha_u64(vals: list) -> np.ndarray:
-    """First 8 bytes of sha256(str(v)) big-endian — matches the oracle's
-    ('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16))::UBIGINT."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.sha256(str(v).encode("utf-8")).digest()[:8], "big")
-            for v in vals
-        ],
-        dtype=np.uint64,
-    )
 
 
 def distinct_count(ds: rd.Dataset, col: str) -> pa.Table:
@@ -54,7 +42,7 @@ def distinct_count(ds: rd.Dataset, col: str) -> pa.Table:
     check is exact either way.)"""
 
     def local_distinct(batch: pa.Table) -> pa.Table:
-        h = np.unique(_sha_u64(batch[col].to_pylist()))
+        h = np.unique(sha256_prefix_u64(batch[col]))
         return pa.table({"h": pa.array(h.astype(np.int64), type=pa.int64())})
 
     n = ds.map_batches(local_distinct, batch_format="pyarrow").groupby("h").count().count()
@@ -69,7 +57,7 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> pa.Table:
     distinct hashes seen)."""
 
     def local_kmins(batch: pa.Table) -> pa.Table:
-        h = np.unique(_sha_u64(batch[col].to_pylist()))[:k]
+        h = np.unique(sha256_prefix_u64(batch[col]))[:k]
         return pa.table({"h": pa.array(h.astype(np.int64), type=pa.int64())})
 
     parts = ds.map_batches(local_kmins, batch_format="pyarrow")

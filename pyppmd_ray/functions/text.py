@@ -9,12 +9,13 @@ mirroring the reference's non-picklable-codec-state constraint
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from pyppmd_ray.functions.hashing import sha256_hex
 
 # whitespace class shared VERBATIM with the SQL oracle (regexp_split_to_array)
 TOKEN_SPLIT_RE = r"[ \t\n\r]+"
@@ -217,11 +218,7 @@ class BpeTokenCounter:
 def sha256_hex_column(batch: pa.Table, column: str = "text") -> pa.Table:
     """(doc_id, fp) with fp = sha256 hex of the UTF-8 text — SQL-matched
     document fingerprint (DuckDB ``sha256(text)``)."""
-    fps = [
-        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-        for t in batch[column].to_pylist()
-    ]
-    return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())})
+    return pa.table({"doc_id": batch["doc_id"], "fp": sha256_hex(batch[column])})
 
 
 class WinnowFingerprinter:

@@ -795,6 +795,33 @@ class VerifyUnit:
         }
 
 
+# failing unit ids kept for the report — a bound, not the full list, so
+# the driver-side state stays O(1) regardless of unit count
+VERIFY_FAIL_SAMPLE = 32
+
+
+def _failed_units_agg(limit: int = VERIFY_FAIL_SAMPLE):
+    """Bounded in-cluster sample of failing unit ids: each accumulator
+    holds at most ``limit`` ids, merges truncate, so no task or the
+    driver ever sees more than ``limit`` strings."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc: list, block) -> list:
+        if len(acc) >= limit:
+            return acc
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        bad = tbl.filter(pc.invert(tbl["ok"].combine_chunks()))
+        return (acc + bad["unit_id"].to_pylist())[:limit]
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: (a + b)[:limit],
+        accumulate_block=acc_block,
+        name="failed_units",
+    )
+
+
 def run_verify_job(
     input_path: str | list[str], out_dir: str, *, columns: list[str] | None = None,
     concurrency=None, unit_bytes: int = 32 << 20,
@@ -806,7 +833,12 @@ def run_verify_job(
          "columns": json.dumps(u["columns"]) if u["columns"] else ""}
         for u in units
     ]
-    res = (
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    # one streamed aggregate — per-unit result rows never concentrate on
+    # the driver (the encode job's own Sum-summary pattern, not to_pandas)
+    agg = (
         rd.from_items(items)
         .map_batches(
             VerifyUnit,
@@ -815,11 +847,25 @@ def run_verify_job(
             batch_format="pyarrow",
             **kwargs,
         )
-        .to_pandas()
+        .map_batches(
+            lambda t: t.append_column(
+                "ok_int", pc.cast(t["ok"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            Sum("ok_int", alias_name="ok_units"),
+            Sum("column_mismatches", alias_name="column_mismatches"),
+            Sum("row_sha_mismatches", alias_name="row_sha_mismatches"),
+            _failed_units_agg(),
+        )
     )
+    n_units = len(units)
+    ok_units = int(agg["ok_units"] or 0)
     return {
-        "units": len(res),
-        "ok": bool(res["ok"].all()),
-        "column_mismatches": int(res["column_mismatches"].sum()),
-        "row_sha_mismatches": int(res["row_sha_mismatches"].sum()),
+        "units": n_units,
+        "ok": ok_units == n_units,
+        "column_mismatches": int(agg["column_mismatches"] or 0),
+        "row_sha_mismatches": int(agg["row_sha_mismatches"] or 0),
+        "failed_units": sorted(agg["failed_units"] or []),
     }

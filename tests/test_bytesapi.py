@@ -61,6 +61,42 @@ def test_stream_split_points_do_not_change_output():
     assert a == b  # block framing is deterministic, split-invariant
 
 
+def test_decompressor_eof_flips_exactly_at_stream_end():
+    """Chunked-decode protocol mirroring /root/reference/tests/
+    test_ppmd7.py:40-53: eof must be False while framed bytes remain,
+    flip True exactly when the flush()-written terminator is consumed,
+    and trailing bytes must land in unused_data."""
+    data = (SENTENCE * 500).encode()
+    c = ppr.BlockCompressor(codec="lz", block_size=8 << 10)
+    stream = c.compress(data) + c.flush()
+    trailer = b"EXTRA-BYTES-AFTER-STREAM"
+    d = ppr.BlockDecompressor()
+    recon = bytearray()
+    step = 509  # prime split so frame boundaries never align with chunks
+    full = stream + trailer
+    for i in range(0, len(full), step):
+        chunk = full[i : i + step]
+        recon += d.decompress(chunk)
+        consumed_through = i + len(chunk)
+        assert d.eof == (consumed_through >= len(stream)), consumed_through
+    assert bytes(recon) == data
+    assert d.eof
+    assert not d.needs_input
+    assert d.unused_data == trailer
+    # post-eof feeds return nothing and accumulate as unused_data
+    assert d.decompress(b"more") == b""
+    assert d.unused_data == trailer + b"more"
+
+
+def test_empty_stream_eof():
+    c = ppr.BlockCompressor()
+    stream = c.flush()  # no data: terminator only
+    d = ppr.BlockDecompressor()
+    assert not d.eof
+    assert d.decompress(stream) == b""
+    assert d.eof and d.unused_data == b""
+
+
 def test_flush_twice_raises():
     c = ppr.BlockCompressor()
     c.flush()

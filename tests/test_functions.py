@@ -1083,6 +1083,69 @@ class TestRound4Regressions:
         ).arrow().cast(got.schema)
         assert got.equals(want)
 
+    def test_degenerate_lsh_bucket_is_bounded(self):
+        """5k near-identical template docs land in one (band_id, band_key)
+        bucket; sorted-neighborhood sub-banding must keep per-bucket work
+        O(n·window), keep the cluster connected, and leave small buckets'
+        exact all-pairs output unchanged."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions import dedup as dd
+        from pyppmd_ray.functions.graph import connected_components
+
+        n = 2000
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": [
+                    "the standard template paragraph repeated across the "
+                    f"whole mirror corpus with only the page id {i} varying"
+                    for i in range(n)
+                ],
+            }
+        )
+        pairs = dd.minhash_lsh_pairs(
+            rd.from_arrow(docs), threshold=0.3, bucket_cap=256, bucket_window=8
+        )
+        tbl = pa.concat_tables(
+            pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert 0 < tbl.num_rows <= n * 8 * 16  # bounded: ≤ n·window·bands
+        # the near-identical cluster must stay CONNECTED through the
+        # pruned candidate set
+        comp = connected_components(pairs, "doc_id_a", "doc_id_b")
+        ct = pa.concat_tables(
+            comp.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        labels = set(ct["lbl"].to_pylist())
+        covered = set(ct["node"].to_pylist())
+        assert len(covered) >= n * 0.9
+        assert len(labels) <= max(1, len(covered) // 50)
+
+        # small buckets: capped path inactive → pairs identical to exact
+        small = pa.table(
+            {
+                "doc_id": pa.array(range(40), type=pa.int64()),
+                "text": [
+                    ("shared boilerplate text " * 5 + f"tail {i % 4}")
+                    for i in range(40)
+                ],
+            }
+        )
+        a = pa.concat_tables(
+            dd.minhash_lsh_pairs(rd.from_arrow(small), threshold=0.3)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+        b = pa.concat_tables(
+            dd.minhash_lsh_pairs(
+                rd.from_arrow(small), threshold=0.3, bucket_cap=2, bucket_window=64
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+        assert a.num_rows > 0
+        # full-window sub-banding on tiny buckets must cover every pair
+        # that the exact path finds (window >= bucket size ⇒ identical)
+        assert a.equals(b)
+
     def test_topk_descending_unsigned_and_int64min(self):
         import ray.data as rd
 

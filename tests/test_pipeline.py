@@ -100,10 +100,27 @@ class TestResumableJob:
         assert s["ratio"] > 3.0
         v = run_verify_job(source_parquet, out_dir, unit_bytes=1)
         assert v["ok"], v
+        assert v["failed_units"] == []
         mans = load_all_manifests(out_dir)
         assert len(mans) == 5
         assert all(m["status"] == "done" for m in mans)
         assert all(m["ratio"] > 1 for m in mans)
+
+    def test_verify_reports_failed_units_bounded(self, source_parquet, tmp_path):
+        """A broken unit flips ok=False and lands (by id) in the bounded
+        failed_units sample; the summary stays a streamed reduce."""
+        import os
+
+        from pyppmd_ray.state.manifest import load_all_manifests, unit_blocks_path
+
+        out_dir = str(tmp_path / "encfail")
+        run_encode_job(source_parquet, out_dir, target_block_bytes=1 << 20, unit_bytes=1)
+        victim = load_all_manifests(out_dir)[2]["unit_id"]
+        os.remove(unit_blocks_path(out_dir, victim))
+        v = run_verify_job(source_parquet, out_dir, unit_bytes=1)
+        assert not v["ok"]
+        assert v["units"] == 5
+        assert v["failed_units"] == [victim]
 
     def test_resume_skips_done(self, source_parquet, tmp_path):
         out_dir = str(tmp_path / "enc2")
