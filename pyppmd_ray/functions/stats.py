@@ -141,22 +141,47 @@ def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
     )
 
 
-def quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
-    """Exact distributed quantiles via a value histogram: one
-    ``groupby(col).count()`` (map-side combined), then the driver merges
-    only the DISTINCT-value histogram and picks the value at rank
-    ceil(q·n) (1-indexed, ascending). Exact — not a sketch — whenever the
-    column's distinct-value count fits the driver (discrete measures,
-    ids, prices in cents...); for unbounded continuous columns use
-    :func:`kmv_distinct`-style sketching instead.
+# above this many distinct values the exact quantile path would
+# concentrate the whole value histogram on the driver — switch to the
+# bounded-bin approximation automatically
+QUANTILE_DISTINCT_BUDGET = 2_000_000
+QUANTILE_BINS = 1 << 16
+
+
+def quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    distinct_budget: int = QUANTILE_DISTINCT_BUDGET,
+    bins: int = QUANTILE_BINS,
+) -> pa.Table:
+    """Distributed quantiles via a value histogram: one
+    ``groupby(col).count()`` (map-side combined, materialized in the
+    object store), then
+
+    - **exact path** (distinct ≤ ``distinct_budget``): the driver merges
+      the DISTINCT-value histogram and picks the value at rank
+      ceil(q·n) (1-indexed, ascending) — exact, not a sketch, and
+      matching a SQL ``min(v) WHERE cum >= ceil(q*n)`` oracle
+      bit-for-bit (identical IEEE multiply + ceil on both sides);
+    - **bounded fallback** (distinct > budget, e.g. an unbounded
+      continuous column): the distinct histogram is re-binned IN-CLUSTER
+      into ``bins`` equal-width buckets over [min, max] (min/max from
+      cheap streamed aggregates over the already-shuffled histogram),
+      and the driver merges ≤ ``bins`` rows. The returned value is the
+      LOWER EDGE of the bucket containing rank ceil(q·n) — a true value
+      lower bound with absolute error ≤ (max−min)/bins per quantile;
+      driver memory is O(bins) regardless of cardinality.
 
     Quantiles are over the NON-NULL values (nulls are excluded from both
     the histogram and n, matching SQL aggregate semantics).
 
-    Returns (q, value) float64 rows, matching a SQL
-    ``min(v) WHERE cum >= ceil(q*n)`` oracle bit-for-bit (identical IEEE
-    multiply + ceil on both sides)."""
-    counts = ds.groupby(col).count()
+    Returns (q, value) float64 rows."""
+    counts = ds.groupby(col).count().materialize()
+    n_distinct = counts.count()
+    if n_distinct > distinct_budget:
+        return _binned_quantiles(counts, col, qs, bins)
     tbl = pa.concat_tables(
         counts.iter_batches(batch_size=None, batch_format="pyarrow")
     )
@@ -177,6 +202,67 @@ def quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
         idx = int(np.searchsorted(cum, rank, side="left"))
         out_q.append(float(q))
         out_v.append(float(v[idx]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=pa.float64()),
+        }
+    )
+
+
+def _binned_quantiles(
+    counts: rd.Dataset, col: str, qs: list[float], bins: int
+) -> pa.Table:
+    """Bounded-memory quantile fallback over a (value, count()) distinct
+    histogram too large for the driver: equal-width re-binning in-cluster
+    → driver merges ≤ ``bins`` (bin, count) rows. Value returned = lower
+    bin edge (error ≤ (max−min)/bins)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    # min/max/n over the distinct histogram — streamed aggregates, the
+    # driver sees three scalars (the null group's NaN key is excluded by
+    # Arrow min/max semantics; its count is excluded explicitly below)
+    lohi = counts.aggregate(
+        Min(col, alias_name="lo"), Max(col, alias_name="hi")
+    )
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isnan(v)
+        v, c = v[keep], c[keep]
+        b = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        ub, inv = np.unique(b, return_inverse=True)
+        cc = np.zeros(ub.size, dtype=np.int64)
+        np.add.at(cc, inv, c)
+        return pa.table(
+            {"bin": pa.array(ub, type=pa.int64()), "c": pa.array(cc, type=pa.int64())}
+        )
+
+    binned = (
+        counts.map_batches(to_bins, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("c")
+    )
+    tbl = pa.concat_tables(
+        binned.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    b = tbl["bin"].combine_chunks().to_numpy(zero_copy_only=False)
+    c = tbl["sum(c)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    b, c = b[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if cum.size else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, min(int(np.ceil(q * n)), n))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(lo + float(b[idx]) * width)
     return pa.table(
         {
             "q": pa.array(out_q, type=pa.float64()),

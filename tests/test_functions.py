@@ -947,6 +947,32 @@ class TestQuantilesNulls:
         out = quantiles(rd.from_arrow(t), "v", [0.5, 1.0]).to_pylist()
         assert out == [{"q": 0.5, "value": 1.0}, {"q": 1.0, "value": 2.0}]
 
+    def test_quantiles_high_cardinality_fallback_bounded(self):
+        """Above distinct_budget the exact path would pull the whole
+        distinct-value histogram onto the driver; the automatic binned
+        fallback must keep driver state O(bins) and stay within the
+        documented (max-min)/bins error of the true rank quantile."""
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import quantiles
+
+        rng = np.random.default_rng(7)
+        vals = rng.uniform(-100.0, 100.0, size=200_000)  # all distinct
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        out = quantiles(ds, "v", qs, distinct_budget=10_000, bins=4096)
+        got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+        sv = np.sort(vals)
+        tol = (sv[-1] - sv[0]) / 4096
+        for q in qs:
+            true = sv[max(1, int(np.ceil(q * len(sv)))) - 1]
+            assert true - tol <= got[q] <= true, (q, got[q], true)
+        # identical inputs under budget: exact path, bit-exact ranks
+        exact = quantiles(ds, "v", qs).to_pylist()
+        for row, q in zip(exact, qs):
+            assert row["value"] == sv[max(1, int(np.ceil(q * len(sv)))) - 1]
+
 
 class TestPii:
     def test_scan_and_redact(self):
