@@ -16,6 +16,7 @@ from . import fsst  # noqa: F401     (fsst)
 from . import lz  # noqa: F401       (lz)
 from . import lined  # noqa: F401    (lined)
 from . import fieldt  # noqa: F401   (fieldt)
+from . import wtok  # noqa: F401     (wtok)
 from . import strings  # noqa: F401  (strs, sdict)
 from . import column  # noqa: F401   (bshuf, boolp, plist, column)
 
@@ -26,6 +27,7 @@ from .fsst import encode_fsst  # noqa: F401
 from .lz import encode_lz  # noqa: F401
 from .lined import encode_lined  # noqa: F401
 from .fieldt import encode_fieldt  # noqa: F401
+from .wtok import encode_wtok  # noqa: F401
 from .strings import encode_strings, encode_sdict, encode_bytes_auto  # noqa: F401
 from .column import encode_column  # noqa: F401
 
@@ -40,6 +42,7 @@ def encode_blob(name: str, data, **kwargs) -> bytes:
         "lz": encode_lz,
         "lined": encode_lined,
         "fieldt": encode_fieldt,
+        "wtok": encode_wtok,
         "int": encode_int_auto,
         "column": encode_column,
     }

@@ -81,6 +81,14 @@ def pick_byte_codec(sample: bytes, avg_len: float | None = None) -> str:
 
         if _detect(sample.split(b"\n")[:512])[0] is not None:
             trials.append(("fieldt", encode_fieldt, 1.00))
+    # prose probe: space-token structure (one token every ~4..64 bytes)
+    # → try the word-dictionary codec; like lined, its dictionary gains
+    # GROW with block size, so no cost bias at trial time
+    n_sp = sample.count(b" ")
+    if n >= 4096 and n // 64 <= n_sp <= n // 3:
+        from .wtok import encode_wtok
+
+        trials.append(("wtok", encode_wtok, 1.00))
     for name, enc, bias in trials:
         try:
             scored.append((len(enc(sample)) * bias, name))

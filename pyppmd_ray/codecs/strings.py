@@ -24,7 +24,7 @@ from .rans import encode_rans0
 
 StrCol = tuple[np.ndarray, bytes]
 
-BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined", "fieldt")
+BYTE_CODECS = ("raw", "rans0", "rans1", "fsst", "lz", "lined", "fieldt", "wtok")
 
 
 def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
@@ -40,6 +40,7 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
     from .rans_ctx import encode_rans1
     from .lined import encode_lined
     from .fieldt import encode_fieldt
+    from .wtok import encode_wtok
 
     enc = {
         "raw": encode_raw,
@@ -49,6 +50,7 @@ def encode_bytes_auto(data: bytes, allowed: tuple[str, ...] = BYTE_CODECS,
         "lz": encode_lz,
         "lined": encode_lined,
         "fieldt": encode_fieldt,
+        "wtok": encode_wtok,
     }
     if len(data) < 64:
         allowed = ("raw",)

@@ -251,3 +251,80 @@ class TestFieldt:
         lines = [b"ln%d" % i for i in range(70000)] + [b"dup"] * 40000
         data = b"\n".join(lines) + b"\n"
         assert decode_blob(encode_lined(data)) == data
+
+
+class TestWtok:
+    @pytest.mark.parametrize(
+        "data",
+        [b"", b"nospaceshere", b" " * 5000, b"a b c " * 2000,
+         b"the quick brown fox jumps over the lazy dog " * 500,
+         bytes(range(256)) * 64,  # binary incl. 0x20
+         b"word " * 3 + b"tail-without-trailing-space",
+         (b"alpha beta gamma delta " * 50 + b"unique%d " % 7) * 40],
+    )
+    def test_roundtrip(self, data):
+        from pyppmd_ray.codecs.wtok import encode_wtok
+
+        assert decode_blob(encode_wtok(data)) == data
+
+    def test_roundtrip_two_plane_vocab(self):
+        """>256 distinct tokens forces the lo/hi plane path."""
+        from pyppmd_ray.codecs.wtok import encode_wtok
+
+        words = [b"w%04d" % (i % 700) for i in range(30000)]
+        data = b" ".join(words) + b" "
+        blob = encode_wtok(data)
+        assert decode_blob(blob) == data
+        from pyppmd_ray.codecs.base import unpack_blob
+
+        _, meta, _ = unpack_blob(blob)
+        assert meta["m"] == 1 and meta["p"] == 2 and meta["D"] >= 700
+
+    def test_unique_tokens_fall_back(self):
+        """Mostly-unique tokens: dictionary is pure overhead; must take
+        the m=0 general-codec path and still round-trip."""
+        from pyppmd_ray.codecs.base import unpack_blob
+        from pyppmd_ray.codecs.wtok import encode_wtok
+
+        data = b" ".join(b"unique-token-%08d" % i for i in range(5000))
+        blob = encode_wtok(data)
+        assert decode_blob(blob) == data
+        _, meta, _ = unpack_blob(blob)
+        assert meta["m"] == 0
+
+    def test_wins_on_word_stream_text(self):
+        """Small-vocab word streams are the prose design point: wtok must
+        beat every general codec (this is the documents-table regime
+        where the reference's PPMd sits at ~8.5x)."""
+        import numpy as np
+
+        from pyppmd_ray.codecs.fsst import encode_fsst
+        from pyppmd_ray.codecs.lz import encode_lz
+        from pyppmd_ray.codecs.wtok import encode_wtok
+
+        rng = np.random.default_rng(3)
+        vocab = [b"spark", b"table", b"merge", b"window", b"stream",
+                 b"column", b"vector", b"query", b"batch", b"join",
+                 b"hash", b"scan", b"sort", b"agg", b"filter", b"row"]
+        data = b" ".join(vocab[i] for i in rng.integers(0, 16, 60000)) + b" "
+        w = len(encode_wtok(data))
+        assert w < len(encode_lz(data))
+        assert w < len(encode_fsst(data))
+        # near the unigram entropy floor: 4 bits/token + dict overhead
+        assert w < 60000 * 4.6 / 8
+
+    def test_selector_picks_wtok_on_prose(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from pyppmd_ray.codecs.select import plan_table
+
+        rng = np.random.default_rng(5)
+        vocab = ["data", "spark", "merge", "query", "join", "table",
+                 "scan", "row", "agg", "key", "window", "stream"]
+        texts = [
+            " ".join(vocab[i] for i in rng.integers(0, 12, 60))
+            for _ in range(3000)
+        ]
+        plan = plan_table(pa.table({"text": texts}))
+        assert plan["text"]["data_codec"] == "wtok"
