@@ -238,6 +238,29 @@ def _q_orders_topk(sf_dir: str):
     return out.select(["o_orderkey", "o_totalprice"])
 
 
+def _q_grouped_topk(sf_dir: str):
+    """Per-group top-k without ranking the corpus: per-batch local
+    per-group top-k, then one groupby(group) final top-k — shuffle
+    volume k×groups×blocks rows. Top-3 orders by price per priority."""
+    from pyppmd_ray.functions.sample import grouped_topk
+
+    ds = _ds(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    return grouped_topk(
+        ds, "o_orderpriority", "o_totalprice", 3, tie_by="o_orderkey"
+    )
+
+
+def _q_term_doc_freq(sf_dir: str):
+    """Corpus term statistics (term, df, tf) — the TF-IDF table builder:
+    per-batch distinct partials before the shuffle, one groupby(term)."""
+    from pyppmd_ray.functions.text import term_doc_freq
+
+    ds = _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return term_doc_freq(ds)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -814,11 +837,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample": _q_documents_sample,
         "documents_stratified_sample": _q_documents_stratified,
         "orders_topk_price": _q_orders_topk,
+        "orders_grouped_topk": _q_grouped_topk,
+        "term_doc_freq": _q_term_doc_freq,
         "documents_distinct_text": _q_distinct_text,
-        "documents_kmv_distinct": _q_kmv_distinct,
-        "lineitem_profile": _q_lineitem_profile,
         # --- tail block: stable since r01/r02 (rotated past the driver's
         # 50-query window to make room above; still locally oracle-tested)
+        "documents_kmv_distinct": _q_kmv_distinct,
+        "lineitem_profile": _q_lineitem_profile,
         "roundtrip_orders": _q_roundtrip("orders"),
         "roundtrip_events": _q_roundtrip("events"),
         "roundtrip_customer": _q_roundtrip("customer"),
@@ -1344,6 +1369,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk_price": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "orders_grouped_topk": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "         ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "             ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "  FROM orders) t WHERE rn <= 3"
+        ),
+        "term_doc_freq": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+')) AS term "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> '') "
+            "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf "
+            "FROM toks GROUP BY term"
         ),
         "documents_distinct_text": (
             "SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"

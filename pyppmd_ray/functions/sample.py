@@ -89,6 +89,57 @@ def topk(
     return tbl.take(pa.array(order))
 
 
+def grouped_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    by: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tie_by: str | None = None,
+) -> rd.Dataset:
+    """Top-k rows per group (e.g. the k best-quality docs per language)
+    WITHOUT ranking the full corpus: each batch first reduces to its own
+    per-group top-k (vectorized argsort — at most k×groups rows leave
+    the batch), then one ``groupby(group).map_groups`` takes the global
+    per-group top-k. Shuffle volume is k×groups×blocks rows, never the
+    dataset. Deterministic total order: (by desc|asc, tie_by asc) —
+    matching a SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...)``
+    oracle exactly when ``tie_by`` is a unique key."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch[group_col].combine_chunks()
+        codes = g.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        v = batch[by].combine_chunks().to_numpy(zero_copy_only=False)
+        t = (
+            batch[tie_by].combine_chunks().to_numpy(zero_copy_only=False)
+            if tie_by is not None
+            else np.arange(batch.num_rows)
+        )
+        # rank value: dense rank of v, flipped for descending (safe for
+        # unsigned/INT64_MIN — same discipline as topk())
+        _, inv = np.unique(v, return_inverse=True)
+        key = inv if ascending else (inv.max() - inv if inv.size else inv)
+        order = np.lexsort((t, key, codes))  # group-major, then rank, tie
+        codes_sorted = codes[order]
+        # positions within each group run
+        new_grp = np.concatenate(([True], codes_sorted[1:] != codes_sorted[:-1]))
+        run_ids = np.cumsum(new_grp) - 1
+        run_starts = np.flatnonzero(new_grp)
+        pos_in_run = np.arange(order.size) - run_starts[run_ids]
+        keep = order[pos_in_run < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        return local(group)
+
+    return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: rd.Dataset,
     rates: dict[str, float],

@@ -307,3 +307,66 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = pc.replace_substring_regex(col, PII_PHONE_RE, "<PHONE>")
     i = batch.schema.get_field_index(text_col)
     return batch.set_column(i, text_col, col)
+
+
+def _term_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, df, tf) partials — fully Arrow/numpy vectorized.
+
+    Tokenization is THE engine token definition (trim + split on
+    [ \\t\\n\\r]+), shared verbatim with the SQL oracle's
+    regexp_split_to_array. df partials sum correctly across batches
+    because a document lives entirely inside one batch."""
+    txt = pc.fill_null(batch["text"], "")
+    trimmed = pc.utf8_trim(txt, characters=TOKEN_STRIP_CHARS)
+    nonempty = pc.not_equal(trimmed, "")
+    trimmed = trimmed.filter(nonempty) if isinstance(trimmed, pa.ChunkedArray) else trimmed.filter(nonempty)
+    empty = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(trimmed) == 0:
+        return empty
+    lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    n_docs = len(lists)
+    doc_idx = np.repeat(
+        np.arange(n_docs, dtype=np.int64),
+        np.asarray(pc.list_value_length(lists), dtype=np.int64),
+    )
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(d.dictionary)
+    if V == 0:
+        return empty
+    tf = np.bincount(codes, minlength=V)
+    pair_codes = np.unique(codes * np.int64(n_docs) + doc_idx) // np.int64(n_docs)
+    df = np.bincount(pair_codes, minlength=V)
+    return pa.table(
+        {
+            "term": d.dictionary,
+            "df": pa.array(df, type=pa.int64()),
+            "tf": pa.array(tf, type=pa.int64()),
+        }
+    )
+
+
+def term_doc_freq(ds: rd.Dataset) -> rd.Dataset:
+    """Corpus term statistics → Dataset(term, df, tf): document frequency
+    and total term frequency per distinct whitespace token — the
+    IDF-table builder for TF-IDF-style quality scoring at corpus scale.
+
+    Pre-aggregate discipline: each batch reduces its tokens to distinct
+    (term, df, tf) partials BEFORE the shuffle, so all-to-all volume is
+    per-batch-distinct terms (Zipf: ≪ token count), then one
+    ``groupby(term).sum`` — the driver never sees the token stream."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(_term_partials, batch_format="pyarrow")
+    return parts.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("tf", alias_name="tf")
+    )

@@ -1228,3 +1228,83 @@ class TestRound4Regressions:
         )
         assert 0 < dec.num_rows < 200
         assert len([f for f in os.listdir(qdir) if f.endswith(".bin")]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTopkTermFreq:
+    def test_grouped_topk_matches_pandas(self):
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import grouped_topk
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        t = pa.table(
+            {
+                "g": pa.array(rng.integers(0, 7, n).astype("str")),
+                "v": pa.array(rng.integers(-100, 100, n), type=pa.int64()),
+                "id": pa.array(np.arange(n), type=pa.int64()),
+            }
+        )
+        got = (
+            grouped_topk(rd.from_arrow(t), "g", "v", 4, tie_by="id")
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        df = t.to_pandas()
+        want = (
+            df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=True)
+            .head(4)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+    def test_grouped_topk_unsigned_and_int64min(self):
+        import numpy as np
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import grouped_topk
+
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 4 + ["b"] * 4),
+                "v": pa.array(
+                    [0, 2**64 - 1, 5, 1, 2**63, 7, 0, 2**64 - 2], type=pa.uint64()
+                ),
+                "id": pa.array(list(range(8)), type=pa.int64()),
+            }
+        )
+        out = (
+            grouped_topk(rd.from_arrow(t), "g", "v", 2, tie_by="id")
+            .to_pandas()
+            .sort_values(["g", "v"], ascending=[True, False])
+        )
+        assert out[out.g == "a"]["v"].tolist() == [2**64 - 1, 5]
+        assert out[out.g == "b"]["v"].tolist() == [2**64 - 2, 2**63]
+
+    def test_term_doc_freq_counts(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import term_doc_freq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": ["a b a", "b\tc", "  ", None],
+            }
+        )
+        out = (
+            term_doc_freq(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        assert out.term.tolist() == ["a", "b", "c"]
+        assert out.df.tolist() == [1, 2, 1]
+        assert out.tf.tolist() == [2, 2, 1]
