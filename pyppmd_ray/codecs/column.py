@@ -432,6 +432,11 @@ def _decode_pmap(meta: dict, payload: memoryview) -> pa.Array:
     klen, pos2 = read_uvarint(payload, pos)
     keys = decode_blob(payload[pos2 : pos2 + klen])
     items = decode_blob(payload[pos2 + klen :])
+    if offsets.size != n + 1:
+        raise CodecError("pmap: offsets count mismatch")
+    if len(keys) != len(items):
+        raise CodecError("pmap: key/item count mismatch")
+    _check_offsets(offsets, len(keys), "pmap")
     typ = pa.map_(keys.type, items.type, keys_sorted=bool(meta.get("ks", 0)))
     # the entries struct must carry the map type's EXACT field nullability
     # (key non-nullable) — a generic struct writes unreadable parquet
@@ -470,6 +475,14 @@ def _decode_column(meta: dict, payload: memoryview) -> pa.Array:
     return arr
 
 
+def _check_offsets(off: np.ndarray, limit: int, label: str) -> None:
+    """Validate DECODED (untrusted) offsets before Arrow from_buffers —
+    Arrow does no validation, and corrupt offsets make downstream kernels
+    read out of bounds (crash, not the catchable quarantine CodecError)."""
+    if off.size < 1 or int(off[0]) < 0 or int(off[-1]) > limit or (np.diff(off) < 0).any():
+        raise CodecError(f"{label}: corrupt offsets plane")
+
+
 def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> pa.Array:
     from .base import decode_blob
 
@@ -479,6 +492,10 @@ def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> p
         offsets, data = decode_blob(payload)
         large = tstr in ("lstr", "lbin")
         binary = tstr in ("bin", "lbin")
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if offsets.size != n + 1:
+            raise CodecError(f"{tstr}: offsets count mismatch")
+        _check_offsets(offsets, len(data), tstr)
         if binary:
             typ = pa.large_binary() if large else pa.binary()
             off = offsets if large else offsets.astype(np.int32)
@@ -505,25 +522,39 @@ def _rebuild_values(t: pa.DataType, tstr: str, n: int, payload: memoryview) -> p
         return pa.array(vals.astype(np.int32), type=pa.int32()).cast(t)
     if tstr == "f16":
         raw = decode_blob(payload)
-        return pa.array(np.frombuffer(raw, dtype=np.float16), type=t)
+        vals = np.frombuffer(raw, dtype=np.float16)
+        if vals.size != n:
+            raise CodecError("f16: value count mismatch")
+        return pa.array(vals, type=t)
     if tstr.startswith("fsb:"):
         offsets, data = decode_blob(payload)
+        if len(data) != n * t.byte_width:
+            raise CodecError("fsb: data length mismatch")
         return pa.Array.from_buffers(t, n, [None, pa.py_buffer(data)])
     if tstr.startswith("dec:"):
         raw = decode_blob(payload)  # pdec decoder → n*16 LE bytes
+        if len(raw) != n * 16:
+            raise CodecError("dec: data length mismatch")
         return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw)])
     if tstr in ("dict", "struct", "map"):
         return decode_blob(payload)  # self-contained child decoders
     if tstr in ("f32", "f64"):
         raw = decode_blob(payload)
         dtype = np.float32 if tstr == "f32" else np.float64
-        return pa.array(np.frombuffer(raw, dtype=dtype), type=t)
+        vals = np.frombuffer(raw, dtype=dtype)
+        if vals.size != n:
+            raise CodecError(f"{tstr}: value count mismatch")
+        return pa.array(vals, type=t)
     if tstr == "bool":
         return pa.array(decode_blob(payload), type=pa.bool_())
     if tstr.startswith("list<") or tstr.startswith("llist<"):
         offsets, values = decode_blob(payload)
         large = tstr.startswith("llist<")
         off_t = np.int64 if large else np.int32
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if offsets.size != n + 1:
+            raise CodecError(f"{tstr}: offsets count mismatch")
+        _check_offsets(offsets, len(values), tstr)
         typ = pa.large_list(values.type) if large else pa.list_(values.type)
         return pa.Array.from_buffers(
             typ, n,

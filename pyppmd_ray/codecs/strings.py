@@ -119,6 +119,31 @@ def strcol_to_arrow(col: StrCol, large: bool = True):
     )
 
 
+def checked_binary_values(voff: np.ndarray, vdata: bytes, label: str):
+    """Build a pa.large_binary value array from DECODED (untrusted)
+    offsets + data, validating the offsets first.
+
+    Arrow's ``from_buffers`` does no validation; a corrupted offsets
+    plane (negative, non-monotonic, or past the data buffer) would make
+    the subsequent ``take`` read out of bounds — a crash, not the
+    catchable ``CodecError`` the quarantine contract requires.
+    """
+    import pyarrow as pa
+
+    from .base import CodecError
+
+    voff = np.ascontiguousarray(voff, dtype=np.int64)
+    if voff.size < 1:
+        raise CodecError(f"{label}: empty offsets plane")
+    if int(voff[0]) != 0 or int(voff[-1]) > len(vdata) or (np.diff(voff) < 0).any():
+        raise CodecError(f"{label}: corrupt offsets plane")
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        int(voff.size) - 1,
+        [None, pa.py_buffer(voff), pa.py_buffer(vdata)],
+    )
+
+
 def dict_encode_strcol(col: StrCol) -> tuple[np.ndarray, StrCol]:
     """(codes, distinct StrCol) via Arrow's dictionary_encode kernel."""
     arr = strcol_to_arrow(col)
@@ -146,11 +171,7 @@ def _decode_sdict(meta: dict, payload: memoryview) -> StrCol:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    values = pa.Array.from_buffers(
-        pa.large_binary(),
-        int(voff.size) - 1,
-        [None, pa.py_buffer(np.ascontiguousarray(voff)), pa.py_buffer(vdata)],
-    )
+    values = checked_binary_values(np.asarray(voff), vdata, "sdict")
     taken = pc.take(values, pa.array(codes, type=pa.int64()))
     return strcol_from_arrow(taken)
 

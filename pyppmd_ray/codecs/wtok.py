@@ -132,11 +132,9 @@ def _decode_wtok(meta: dict, payload: memoryview) -> bytes:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    values = pa.Array.from_buffers(
-        pa.large_binary(),
-        D,
-        [None, pa.py_buffer(np.ascontiguousarray(voff)), pa.py_buffer(vdata)],
-    )
+    from .strings import checked_binary_values
+
+    values = checked_binary_values(voff, vdata, "wtok")
     taken = pc.take(values, pa.array(codes, type=pa.int64()))
     from .strings import strcol_from_arrow
 

@@ -669,3 +669,76 @@ def hash_join(
     return _streaming_map_groups(
         unioned, lkeys + ["_salt"], merge, empty_table=out_schema.empty_table()
     )
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_us: int = 1_800_000_000,
+    order_col: str = "event_id",
+) -> rd.Dataset:
+    """Gap-based sessionization: split each key's event stream into
+    sessions wherever the time between consecutive events exceeds
+    ``gap_us`` microseconds, and return one summary row per session
+    ``(key, session_id, n_events, first_ts, last_ts, duration_us)``.
+
+    The behavioral-log curation primitive (session-level filtering /
+    packing for user-interaction training data). Shape: one
+    hash-partitioned ``groupby(key)`` whose per-group merge is fully
+    vectorized — lexsort by (ts, order_col) for a deterministic order,
+    one diff + cumsum for the session boundaries, and
+    ``np.flatnonzero`` slicing for the per-session aggregates. No
+    window-function state, no per-row Python.
+
+    Partitioning assumption (same as :func:`asof_join`): one KEY's rows
+    fit in a worker — keys are users, whose per-key history is bounded.
+    session_id is 1-based in time order within each key.
+    """
+    ts_type = None
+    sch = ds.schema()
+    if sch is not None and ts in sch.names:
+        ts_type = sch.types[sch.names.index(ts)]
+
+    def merge(group: pa.Table):
+        n = group.num_rows
+        tcol = group[ts].combine_chunks()
+        tus = tcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        oid = group[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, tus))
+        tsorted = tus[order]
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        np.greater(np.diff(tsorted), np.int64(gap_us), out=new_sess[1:])
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n)
+        first = tsorted[starts]
+        last = tsorted[ends - 1]
+        keyval = group[key][0]
+        t = tcol.type
+        yield pa.table(
+            {
+                key: pa.array([keyval.as_py()] * starts.size, type=group[key].type),
+                "session_id": pa.array(
+                    np.arange(1, starts.size + 1, dtype=np.int64), type=pa.int64()
+                ),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "first_ts": pa.array(first, type=pa.int64()).cast(t),
+                "last_ts": pa.array(last, type=pa.int64()).cast(t),
+                "duration_us": pa.array(last - first, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            key: pa.array([], type=sch.types[sch.names.index(key)] if sch else pa.int64()),
+            "session_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "first_ts": pa.array([], type=ts_type or pa.timestamp("us")),
+            "last_ts": pa.array([], type=ts_type or pa.timestamp("us")),
+            "duration_us": pa.array([], type=pa.int64()),
+        }
+    )
+    return _streaming_map_groups(
+        ds.select_columns([key, ts, order_col]), [key], merge, empty_table=empty
+    )

@@ -370,3 +370,103 @@ def term_doc_freq(ds: rd.Dataset) -> rd.Dataset:
     return parts.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("tf", alias_name="tf")
     )
+
+
+def doc_rare_terms(ds, max_df: int = 10, k: int = 3):
+    """Per-document distinctive terms: the top-``k`` most frequent terms
+    in each document among terms whose corpus document-frequency is
+    <= ``max_df`` (ties broken by term ascending). The rare-term
+    profiling step of a TF-IDF-style curation pass — "what is this
+    document about" — emitted as Dataset(doc_id, term, tf).
+
+    Scale shape: filtering needs only MEMBERSHIP in the rare set, and
+    its complement (df > max_df) is the Zipf HEAD — small, bounded by
+    total_docs/max_df distinct terms. So the common-term set is computed
+    by :func:`term_doc_freq` (pre-aggregated shuffle over per-batch
+    partials), collected once, and broadcast via the object store; the
+    per-document term counts and the top-k selection then run entirely
+    map-side (a document lives inside one row), with NO per-document
+    shuffle. Per-batch work is Arrow dictionary_encode + one lexsort.
+    """
+    import ray
+
+    from pyppmd_ray.functions.broadcast import LazyBroadcast
+
+    common = term_doc_freq(ds.select_columns(["doc_id", "text"]))
+    common = common.filter(expr=f"df > {int(max_df)}")
+    # the Zipf head is small by construction (df > max_df ⇒ at most
+    # total_tokens/max_df distinct terms) — safe to assemble and
+    # broadcast once; everything per-document stays map-side
+    head = pa.concat_tables(
+        common.select_columns(["term"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    bcast = LazyBroadcast(ray.put(head["term"].combine_chunks()))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+        txt = pc.fill_null(batch["text"], "")
+        trimmed = pc.utf8_trim(txt, characters=TOKEN_STRIP_CHARS)
+        nonempty = np.asarray(pc.not_equal(trimmed, ""))
+        if not nonempty.any():
+            return empty
+        doc_ids = batch["doc_id"].combine_chunks().filter(pa.array(nonempty))
+        trimmed = trimmed.filter(pa.array(nonempty))
+        lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        doc_idx = np.repeat(
+            np.arange(len(lists), dtype=np.int64),
+            np.asarray(pc.list_value_length(lists), dtype=np.int64),
+        )
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(d.dictionary)
+        if V == 0:
+            return empty
+        # (doc, term) counts via one bincount over packed pair codes
+        pair = doc_idx * np.int64(V) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        pdoc = upair // np.int64(V)
+        pterm = (upair % np.int64(V)).astype(np.int64)
+        # drop common (Zipf-head) terms — membership against the broadcast set
+        keep = ~np.asarray(
+            pc.is_in(pc.take(d.dictionary, pa.array(pterm)), value_set=bcast.state)
+        )
+        if not keep.any():
+            return empty
+        pdoc, pterm, tf = pdoc[keep], pterm[keep], tf[keep]
+        terms = pc.take(d.dictionary, pa.array(pterm)).cast(pa.string())
+        # top-k per doc by (tf desc, term asc): tie-break on the term's
+        # LEXICOGRAPHIC rank (computed once over the D-sized dictionary,
+        # not the pair stream) so the lexsort stays all-integer
+        lex_rank = np.empty(V, dtype=np.int64)
+        lex_rank[np.asarray(pc.sort_indices(d.dictionary), dtype=np.int64)] = np.arange(
+            V, dtype=np.int64
+        )
+        order = np.lexsort((lex_rank[pterm], -tf, pdoc))
+        sdoc = pdoc[order]
+        starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+        rank = np.arange(sdoc.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, sdoc.size))
+        )
+        sel = order[rank < k]
+        return pa.table(
+            {
+                "doc_id": pc.take(doc_ids, pa.array(pdoc[sel])),
+                "term": pc.take(terms, pa.array(sel)),
+                "tf": pa.array(tf[sel], type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    )

@@ -229,3 +229,32 @@ def test_corrupt_block_payload_raises_not_hangs():
             assert out.num_rows <= 200 * 4
         except (CodecError, ValueError, KeyError, IndexError, OverflowError):
             pass  # the contract: a catchable error, not a crash/hang
+
+
+def test_corrupt_wtok_blob_raises_not_hangs():
+    """Corruption fuzz aimed at the wtok dictionary path (m=1): bit-flips
+    in the code planes, vocab offsets, or vocab data must surface as a
+    catchable error or an intact decode — never an Arrow OOB read."""
+    from pyppmd_ray.codecs.base import CodecError, decode_blob
+    from pyppmd_ray.codecs.wtok import encode_wtok
+
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "and", "runs"]
+    rng = np.random.default_rng(7)
+    text = " ".join(words[i] for i in rng.integers(0, len(words), 4000)).encode()
+    blob = bytearray(encode_wtok(text))
+    assert decode_blob(bytes(blob)) == text
+    for trial in range(60):
+        bad = bytearray(blob)
+        mode = trial % 3
+        if mode == 0:
+            bad = bad[: rng.integers(1, len(bad))]
+        elif mode == 1:
+            bad[int(rng.integers(0, len(bad)))] ^= 0xFF
+        else:
+            for _ in range(8):
+                bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_blob(bytes(bad))
+            assert len(out) <= 4 * len(text)
+        except (CodecError, ValueError, KeyError, IndexError, OverflowError):
+            pass
