@@ -261,6 +261,25 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_freq(ds)
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min gap):
+    one summary row per (user, session) — hash-partitioned groupby,
+    vectorized per-group lexsort + diff/cumsum session splitting."""
+    from pyppmd_ray.functions.relational import sessionize
+
+    return sessionize(_ds(sf_dir, "events"), gap_us=1_800_000_000)
+
+
+def _q_doc_rare_terms(sf_dir: str):
+    """Per-document distinctive terms: top-3 by tf among terms with
+    corpus df <= 30 — Zipf-head broadcast, all per-doc work map-side.
+    (The synthetic documents vocab has min df ~25 at every sf, so a
+    max_df below that is degenerate; 30 keeps the result non-empty.)"""
+    from pyppmd_ray.functions.text import doc_rare_terms
+
+    return doc_rare_terms(_ds(sf_dir, "documents"), max_df=30, k=3)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -783,6 +802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still locally oracle-checked by tests/test_queries.py regardless of
     # position.
     return {
+        # --- r5 priority block: new/changed this round ---
+        "sessionize": _q_sessionize,
+        "doc_rare_terms": _q_doc_rare_terms,
         # --- never / stale driver-checked (r4 priority block) ---
         "lineitem_quantiles": _q_lineitem_quantiles,
         "events_windowed": _q_events_windowed,
@@ -1384,6 +1406,41 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents WHERE trim(text, ' \t\n\r') <> '') "
             "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf "
             "FROM toks GROUP BY term"
+        ),
+        "sessionize": (
+            # gaps-and-islands: a session break is a >30-min gap; the
+            # running sum of breaks (ordered by ts, event_id — the Ray
+            # side's deterministic lexsort) is the 1-based session id
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id, CASE WHEN "
+            "    epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) "
+            "    > 1800000000 OR lag(ts) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "    THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS ("
+            "  SELECT user_id, ts, SUM(brk) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "  CAST(count(*) AS BIGINT) AS n_events, "
+            "  min(ts) AS first_ts, max(ts) AS last_ts, "
+            "  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "doc_rare_terms": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+')) AS term "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df "
+            "       FROM toks GROUP BY term), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf "
+            "       FROM toks GROUP BY doc_id, term), "
+            "r AS (SELECT tf.doc_id, tf.term, tf.tf, ROW_NUMBER() OVER ("
+            "        PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn "
+            "      FROM tf JOIN df ON tf.term = df.term WHERE df.df <= 30) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM r WHERE rn <= 3"
         ),
         "documents_distinct_text": (
             "SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"

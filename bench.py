@@ -187,27 +187,30 @@ def _run_bench() -> dict:
             "extra": extra,
         }
 
-    # ---- documents table from the sf dir ----
-    t0 = time.monotonic()
-    enc_docs = encode_dataset(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
-        target_block_bytes=BLOCK_BYTES,
-    ).materialize()
-    queries["encode_documents"] = round(time.monotonic() - t0, 3)
+    # ---- documents table from the sf dir (min-of-2 like the core
+    # stages: sub-second queries on this sandbox vary ±30%) ----
+    t_docs, enc_docs = _timed(
+        lambda: encode_dataset(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            target_block_bytes=BLOCK_BYTES,
+        ).materialize()
+    )
+    queries["encode_documents"] = round(t_docs, 3)
     sd = enc_docs.to_pandas()
     extra["documents_ratio"] = round(
         int(sd["uncompressed_bytes"].sum()) / int(sd["encoded_bytes"].sum()), 3
     )
 
-    # ---- training-data ops ----
+    # ---- training-data ops (all min-of-2) ----
     from pyppmd_ray.functions.dedup import minhash_lsh_pairs
 
-    t0 = time.monotonic()
-    n_pairs = minhash_lsh_pairs(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
-        threshold=0.3,
-    ).count()  # lazy Dataset — count() drives the whole LSH pipeline
-    queries["dedup_minhash"] = round(time.monotonic() - t0, 3)
+    t_mh, n_pairs = _timed(
+        lambda: minhash_lsh_pairs(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            threshold=0.3,
+        ).count()  # lazy Dataset — count() drives the whole LSH pipeline
+    )
+    queries["dedup_minhash"] = round(t_mh, 3)
     extra["minhash_pairs"] = int(n_pairs)
 
     from pyppmd_ray.functions.ann import _seed_centroid_table, brute_force_topk
@@ -215,23 +218,23 @@ def _run_bench() -> dict:
 
     emb_ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     qv = embedding_matrix(_seed_centroid_table(emb_ds, 16)["embedding"])
-    t0 = time.monotonic()
-    brute_force_topk(emb_ds, qv, k=10)
-    queries["ann_topk"] = round(time.monotonic() - t0, 3)
+    t_ann, _ = _timed(lambda: brute_force_topk(emb_ds, qv, k=10))
+    queries["ann_topk"] = round(t_ann, 3)
 
     from ray.data.aggregate import Count, Sum
 
-    t0 = time.monotonic()
-    (
-        rd.read_parquet(
-            os.path.join(SF_DIR, "lineitem.parquet"),
-            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    t_agg, _ = _timed(
+        lambda: (
+            rd.read_parquet(
+                os.path.join(SF_DIR, "lineitem.parquet"),
+                columns=["l_returnflag", "l_linestatus", "l_quantity"],
+            )
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+            .to_pandas()
         )
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
-        .to_pandas()
     )
-    queries["lineitem_agg"] = round(time.monotonic() - t0, 3)
+    queries["lineitem_agg"] = round(t_agg, 3)
 
     ray.shutdown()
     total = round(sum(queries.values()), 3)

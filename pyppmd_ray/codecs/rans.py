@@ -36,14 +36,15 @@ _U32 = np.uint32
 _U64 = np.uint64
 
 
-def normalize_freqs(counts: np.ndarray) -> np.ndarray:
-    """Quantize counts to sum exactly M, every present symbol >= 1."""
+def normalize_freqs(counts: np.ndarray, m: int = M) -> np.ndarray:
+    """Quantize counts to sum exactly ``m`` (default M), every present
+    symbol >= 1."""
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
         raise CodecError("empty frequency table")
-    f = np.where(counts > 0, np.maximum(1, (counts * M) // total), 0).astype(np.int64)
-    diff = M - int(f.sum())
+    f = np.where(counts > 0, np.maximum(1, (counts * m) // total), 0).astype(np.int64)
+    diff = m - int(f.sum())
     if diff > 0:
         # dump the whole surplus on the most frequent symbol
         f[int(np.argmax(f))] += diff
@@ -60,14 +61,14 @@ def normalize_freqs(counts: np.ndarray) -> np.ndarray:
     return f.astype(_U32)
 
 
-def cap_full_freq(f: np.ndarray) -> np.ndarray:
-    """Ensure max freq <= M-1 (a single-symbol table would make f << 20
-    overflow u32). Moves one count to a deterministic dummy slot — the
+def cap_full_freq(f: np.ndarray, m: int = M) -> np.ndarray:
+    """Ensure max freq <= m-1 (a single-symbol table would make the xmax
+    shift overflow u32). Moves one count to a deterministic dummy slot — the
     decoder never sees its slots because the encoder never produces them."""
     j = int(np.argmax(f))
-    if int(f[j]) == M:
+    if int(f[j]) == m:
         f = f.copy()
-        f[j] = M - 1
+        f[j] = m - 1
         f[0 if j != 0 else 1] += 1
     return f
 
@@ -79,14 +80,18 @@ def _lane_count(n: int) -> int:
     return max(1, min(8192, n // 700)) if n else 1
 
 
-def _division_magic(f_tab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _division_magic(
+    f_tab: np.ndarray, bound_log: int = 20
+) -> tuple[np.ndarray, np.ndarray]:
     """Per-symbol (multiplier, shift) such that x // f == (x*m) >> s for
-    every dividend the encoder can present (renorm keeps x < f·2^20):
-    s = 20 + 2·ceil(log2 f), m = ceil(2^s / f). Exactness (Granlund &
-    Montgomery, Thm 4.2): m·f − 2^s ≤ f−1 ≤ 2^s/B with B = f·2^20 ⇔
+    every dividend the encoder can present (renorm keeps x < f·2^bound_log,
+    where bound_log = 32 − prob_bits): s = bound_log + 2·ceil(log2 f),
+    m = ceil(2^s / f). Exactness (Granlund & Montgomery, Thm 4.2):
+    m·f − 2^s ≤ f−1 ≤ 2^s/B with B = f·2^bound_log ⇔
     f(f−1) ≤ 2^(2·ceil(log2 f)), true for all f; the u64 product is
-    bounded by (2^32−1)·2^32 < 2^64. Zero-freq slots (never encoded) get
-    a dummy divisor of 1."""
+    bounded by f·2^bound_log·2^s/f = 2^(bound_log+s) ≤ 2^(64−2(pb−L)) < 2^64
+    since L = ceil(log2 f) ≤ prob_bits. Zero-freq slots (never encoded)
+    get a dummy divisor of 1."""
     f = f_tab.astype(np.int64)
     safe = np.maximum(f, 1)
     l = np.zeros_like(safe)
@@ -94,14 +99,19 @@ def _division_magic(f_tab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     while (v > 0).any():
         l[v > 0] += 1
         v >>= 1
-    s = (20 + 2 * l).astype(_U64)
-    m = ((np.int64(1) << (20 + 2 * l)).astype(np.uint64) + safe.astype(_U64) - _U64(1)) // safe.astype(_U64)
+    s = (bound_log + 2 * l).astype(_U64)
+    m = ((np.int64(1) << (bound_log + 2 * l)).astype(np.uint64) + safe.astype(_U64) - _U64(1)) // safe.astype(_U64)
     return m, s
 
 
-def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, int]:
-    """Encode uint8/uint16 symbols with quantized ``freqs`` (sum == M,
-    every freq <= M-1 — see :func:`cap_full_freq`).
+def rans_encode(
+    symbols: np.ndarray,
+    freqs: np.ndarray,
+    prob_bits: int = PROB_BITS,
+    n_lanes: int | None = None,
+) -> tuple[bytes, np.ndarray, int]:
+    """Encode uint8/uint16 symbols with quantized ``freqs`` (sum ==
+    2^prob_bits, every freq <= 2^prob_bits - 1 — see :func:`cap_full_freq`).
 
     Round-robin lane layout (symbol i → lane i%N, step i//N) means only
     the FINAL decode step (= first encode step here) is partially active;
@@ -109,16 +119,20 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
     gathered once up front. u32 states with 16-bit renorm: at most one
     u16 word per symbol, one compare per step.
 
+    ``prob_bits`` may be raised (up to 16) for wide alphabets where the
+    default 12-bit quantization is too coarse — e.g. the wtok token-id
+    stream with thousands of symbols (see codecs/wtok.py).
+
     Returns (stream_bytes, final_states_u32, n_lanes).
     """
     sym = np.ascontiguousarray(symbols)
     n = int(sym.size)
-    N = _lane_count(n)
+    N = n_lanes if n_lanes is not None else _lane_count(n)
     f_tab = freqs.astype(_U32)
     start_tab = np.concatenate(([0], np.cumsum(f_tab)))[:-1].astype(_U32)
     fa = f_tab[sym]
     sa = start_tab[sym]
-    m_tab, s_tab = _division_magic(f_tab)
+    m_tab, s_tab = _division_magic(f_tab, bound_log=32 - prob_bits)
     ma = m_tab[sym]
     sha = s_tab[sym]
 
@@ -126,8 +140,9 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
     T = -(-n // N) if n else 0
     chunks: list[np.ndarray] = []
     shift = _U32(_RENORM)
-    pbits = _U32(PROB_BITS)
-    xmax_shift = _U32(_RENORM + 4)  # f << 20 == f * ((L >> PROB_BITS) << 16)
+    pbits = _U32(prob_bits)
+    # f << (32-pb) == f * ((L >> prob_bits) << 16)
+    xmax_shift = _U32(32 - prob_bits)
     w_mask = _U32(0xFFFF)
 
     for t in range(T - 1, -1, -1):
@@ -159,7 +174,7 @@ def rans_encode(symbols: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarr
 
 
 def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
-                freqs: np.ndarray) -> np.ndarray:
+                freqs: np.ndarray, prob_bits: int = PROB_BITS) -> np.ndarray:
     """Inverse of :func:`rans_encode`; returns uint16 symbol array of length n.
 
     Mask-free main loop: only the final step is partially active, and the
@@ -169,16 +184,16 @@ def rans_decode(stream: memoryview | bytes, states: np.ndarray, N: int, n: int,
     slot2sym = np.repeat(
         np.arange(len(f_tab), dtype=np.uint16), f_tab
     )
-    if slot2sym.size != M:
+    if slot2sym.size != (1 << prob_bits):
         raise CodecError("corrupt frequency table")
     buf = np.frombuffer(stream, dtype="<u2")
     out = np.empty(n, dtype=np.uint16)
     x = states.astype(_U32).copy()
     ptr = 0
     T = -(-n // N) if n else 0
-    mask = _U32(M - 1)
+    mask = _U32((1 << prob_bits) - 1)
     shift = _U32(_RENORM)
-    pbits = _U32(PROB_BITS)
+    pbits = _U32(prob_bits)
     L = _U32(RANS_L)
 
     for t in range(T):

@@ -397,10 +397,15 @@ def doc_rare_terms(ds, max_df: int = 10, k: int = 3):
     # the Zipf head is small by construction (df > max_df ⇒ at most
     # total_tokens/max_df distinct terms) — safe to assemble and
     # broadcast once; everything per-document stays map-side
-    head = pa.concat_tables(
+    head_batches = list(
         common.select_columns(["term"]).iter_batches(
             batch_size=None, batch_format="pyarrow"
         )
+    )
+    head = (
+        pa.concat_tables(head_batches)
+        if head_batches
+        else pa.table({"term": pa.array([], type=pa.string())})
     )
     bcast = LazyBroadcast(ray.put(head["term"].combine_chunks()))
 

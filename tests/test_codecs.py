@@ -267,8 +267,9 @@ class TestWtok:
 
         assert decode_blob(encode_wtok(data)) == data
 
-    def test_roundtrip_two_plane_vocab(self):
-        """>256 distinct tokens forces the lo/hi plane path."""
+    def test_roundtrip_direct_wide_vocab(self):
+        """Hundreds of distinct tokens: the direct wide-rANS path (m=2,
+        prob_bits=15, front-coded vocab) must round-trip."""
         from pyppmd_ray.codecs.wtok import encode_wtok
 
         words = [b"w%04d" % (i % 700) for i in range(30000)]
@@ -278,7 +279,27 @@ class TestWtok:
         from pyppmd_ray.codecs.base import unpack_blob
 
         _, meta, _ = unpack_blob(blob)
-        assert meta["m"] == 1 and meta["p"] == 2 and meta["D"] >= 700
+        assert meta["m"] == 2 and meta["D"] >= 700
+
+    def test_roundtrip_two_plane_vocab(self):
+        """>MAX_DIRECT distinct tokens falls back to the legacy lo/hi
+        plane path (m=1) — quantizing >16k symbols into 32k slots would
+        cost more than the plane split."""
+        import numpy as np
+
+        from pyppmd_ray.codecs.base import unpack_blob
+        from pyppmd_ray.codecs.wtok import MAX_DIRECT, encode_wtok
+
+        rng = np.random.default_rng(11)
+        words = [b"w%05d" % (i % 20000) for i in range(60000)]
+        rng.shuffle(words)
+        data = b" ".join(words) + b" "
+        blob = encode_wtok(data)
+        assert decode_blob(blob) == data
+        _, meta, _ = unpack_blob(blob)
+        assert meta["m"] in (0, 1)
+        if meta["m"] == 1:
+            assert meta["D"] > MAX_DIRECT
 
     def test_unique_tokens_fall_back(self):
         """Mostly-unique tokens: dictionary is pure overhead; must take

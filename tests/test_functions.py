@@ -1308,3 +1308,109 @@ class TestGroupedTopkTermFreq:
         assert out.term.tolist() == ["a", "b", "c"]
         assert out.df.tolist() == [1, 2, 1]
         assert out.tf.tolist() == [2, 2, 1]
+
+
+class TestSessionize:
+    def test_gap_splitting_and_summary(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import sessionize
+
+        base = 1_700_000_000_000_000
+        gap = 1_800_000_000  # 30 min in us
+        # user 1: events at 0, 10min, 20min | 2h, 2h+5min  -> 2 sessions
+        # user 2: single event              -> 1 session of 1
+        rows = [
+            (1, base, 1), (1, base + 600_000_000, 2), (1, base + 1_200_000_000, 3),
+            (1, base + 7_200_000_000, 4), (1, base + 7_500_000_000, 5),
+            (2, base + 42, 6),
+        ]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        out = pa.concat_tables(
+            sessionize(rd.from_arrow(tbl), gap_us=gap)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+        assert out["user_id"].to_pylist() == [1, 1, 2]
+        assert out["session_id"].to_pylist() == [1, 2, 1]
+        assert out["n_events"].to_pylist() == [3, 2, 1]
+        assert out["duration_us"].to_pylist() == [1_200_000_000, 300_000_000, 0]
+        assert out["first_ts"].type == pa.timestamp("us")
+        assert out["first_ts"].to_pylist()[2] == out["last_ts"].to_pylist()[2]
+
+    def test_exact_gap_boundary_stays_in_session(self):
+        """A gap of EXACTLY gap_us does not split (strictly-greater rule —
+        matches the oracle SQL's `> gap` comparison)."""
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import sessionize
+
+        base = 1_700_000_000_000_000
+        tbl = pa.table(
+            {
+                "user_id": pa.array([7, 7], type=pa.int64()),
+                "ts": pa.array([base, base + 1_800_000_000], type=pa.timestamp("us")),
+                "event_id": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        out = pa.concat_tables(
+            sessionize(rd.from_arrow(tbl), gap_us=1_800_000_000)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert out.num_rows == 1 and out["n_events"].to_pylist() == [2]
+
+
+class TestDocRareTerms:
+    def test_topk_rare_terms_with_ties(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import doc_rare_terms
+
+        # corpus of 4 docs; "common" appears in all; the rest are rare
+        docs = [
+            (1, "common rare1 rare1 rare2 zeta zeta zeta"),
+            (2, "common common rare3"),
+            (3, "common alpha beta"),
+            (4, "common"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+        out = pa.concat_tables(
+            doc_rare_terms(rd.from_arrow(tbl), max_df=3, k=2)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ).sort_by([("doc_id", "ascending"), ("tf", "descending")])
+        rows = list(
+            zip(out["doc_id"].to_pylist(), out["term"].to_pylist(), out["tf"].to_pylist())
+        )
+        # doc 1: zeta(3), rare1(2) — rare2 cut by k=2; doc 4: nothing rare
+        assert rows == [
+            (1, "zeta", 3), (1, "rare1", 2),
+            (2, "rare3", 1),
+            (3, "alpha", 1), (3, "beta", 1),
+        ]
+
+    def test_tie_break_is_term_ascending(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import doc_rare_terms
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "text": pa.array(["bb aa cc bb aa cc"]),
+            }
+        )
+        out = pa.concat_tables(
+            doc_rare_terms(rd.from_arrow(tbl), max_df=5, k=2)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert sorted(out["term"].to_pylist()) == ["aa", "bb"]

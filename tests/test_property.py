@@ -258,3 +258,45 @@ def test_corrupt_wtok_blob_raises_not_hangs():
             assert len(out) <= 4 * len(text)
         except (CodecError, ValueError, KeyError, IndexError, OverflowError):
             pass
+
+
+@settings(max_examples=30, deadline=5000)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh-xyz0123456789", min_size=1, max_size=24),
+        min_size=1,
+        max_size=64,
+    ),
+    st.integers(min_value=200, max_value=3000),
+)
+def test_wtok_wide_roundtrip_property(vocab, n_tokens):
+    """m=2 direct-path fuzz: arbitrary small vocabs at arbitrary mix
+    ratios must round-trip bit-exactly (wide rANS + front-coded vocab)."""
+    from pyppmd_ray.codecs.wtok import encode_wtok
+
+    rng = np.random.default_rng(len(vocab) * 1000 + n_tokens)
+    words = [vocab[i].encode() for i in rng.integers(0, len(vocab), n_tokens)]
+    data = b" ".join(words) + b" "
+    assert decode_blob(encode_wtok(data)) == data
+
+
+def test_wtok_front_code_inverts():
+    """_front_code on a sorted vocab must reconstruct every word via
+    word[i] = word[i-1][:lcp[i]] + suffix[i] — including >256-byte
+    shared prefixes (capped LCP keeps correctness, not optimality)."""
+    from pyppmd_ray.codecs.wtok import _front_code
+
+    long = b"p" * 300
+    words = sorted(
+        [b"", b"a", b"ab", b"abc", b"abd", b"b", long + b"q", long + b"r", long + b"rr"]
+    )
+    voff = np.concatenate(([0], np.cumsum([len(w) for w in words]))).astype(np.int64)
+    vdata = b"".join(words)
+    lcp, suf_len, sufb = _front_code(voff, vdata)
+    pos = 0
+    prev = b""
+    for i, w in enumerate(words):
+        got = prev[: lcp[i]] + sufb[pos : pos + suf_len[i]]
+        assert got == w
+        pos += suf_len[i]
+        prev = got
