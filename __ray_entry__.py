@@ -1462,7 +1462,8 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h), "
             "s AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h) "
             "SELECT CAST(q AS DOUBLE) AS q, "
-            "(SELECT CAST(min(v) AS DOUBLE) FROM s, t WHERE cum >= ceil(q * t.n)) AS value "
+            "(SELECT CAST(min(v) AS DOUBLE) FROM s, t WHERE cum >= ceil(q * t.n)) AS value, "
+            "TRUE AS exact "
             "FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qq(q)"
         ),
         "lineitem_profile": " UNION ALL ".join(

@@ -135,26 +135,132 @@ class MinHasher:
         vals = _mod_m61(h[None, :] * self.a[:, None] + self.b[:, None])
         return vals.min(axis=1)
 
+    def _batch_shingle_hashes(
+        self, texts: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized shingling for a whole batch of texts.
+
+        Returns (hashes, counts): per-doc shingle counts and the flat
+        u64 h32 values of every shingle window, doc-major. No per-token
+        Python loop: Arrow's regex split (C kernel) tokenizes the batch,
+        ``dictionary_encode`` maps tokens to ids, and shingle windows
+        become k-column id slices; only DISTINCT (id-tuple) shingles
+        reach sha256 (further amortized by the per-actor byte cache).
+        Duplicate windows within a doc are fine — min() over the window
+        multiset equals min() over the shingle SET, so the old per-doc
+        set construction was never load-bearing for the signature."""
+        from pyppmd_ray.functions.text import TOKEN_SPLIT_RE, TOKEN_STRIP_CHARS
+
+        n = len(texts)
+        counts = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64), counts
+        trimmed = pc.utf8_trim(pc.fill_null(texts, ""), characters=TOKEN_STRIP_CHARS)
+        nonempty = np.asarray(pc.not_equal(trimmed, ""))
+        ne_idx = np.flatnonzero(nonempty)
+        if ne_idx.size == 0:
+            return np.empty(0, dtype=np.uint64), counts
+        lists = pc.split_pattern_regex(
+            trimmed.filter(pa.array(nonempty)), TOKEN_SPLIT_RE
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        toks_per_doc = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        flat = pc.list_flatten(lists)
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_bytes = [
+            t.as_py().encode("utf-8") if isinstance(t.as_py(), str) else t.as_py()
+            for t in d.dictionary
+        ]
+        k = self.shingle
+        doc_starts = np.concatenate(([0], np.cumsum(toks_per_doc)))[:-1]
+        n_win = np.where(toks_per_doc >= k, toks_per_doc - k + 1, 1)
+        counts[ne_idx] = n_win
+
+        # full windows (docs with >= k tokens), id matrix (S, k)
+        full = toks_per_doc >= k
+        hashes = np.empty(int(n_win.sum()), dtype=np.uint64)
+        # output slot ranges, doc-major over nonempty docs
+        out_starts = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        if full.any():
+            base = np.repeat(doc_starts[full], n_win[full]) + (
+                np.arange(int(n_win[full].sum()))
+                - np.repeat(np.concatenate(([0], np.cumsum(n_win[full])))[:-1], n_win[full])
+            )
+            cols = np.stack([codes[base + t] for t in range(k)], axis=1)
+            D = max(int(codes.max()) + 1, 2)
+            bits = max(int(D - 1).bit_length(), 1)
+            if bits * k <= 63:  # pack the id tuple into one u64 key
+                packed = np.zeros(cols.shape[0], dtype=np.uint64)
+                for t in range(k):
+                    packed = (packed << np.uint64(bits)) | cols[:, t].astype(np.uint64)
+                uniq, inv = np.unique(packed, return_inverse=True)
+                uniq_rows = np.stack(
+                    [
+                        (uniq >> np.uint64(bits * (k - 1 - t))).astype(np.int64)
+                        & ((1 << bits) - 1)
+                        for t in range(k)
+                    ],
+                    axis=1,
+                )
+            else:  # void-view unique for very wide id spaces
+                rec = np.ascontiguousarray(cols).view(
+                    [("", np.int64)] * k
+                ).reshape(-1)
+                uniq_v, inv = np.unique(rec, return_inverse=True)
+                uniq_rows = uniq_v.view(np.int64).reshape(-1, k)
+            h_dist = self._hash_id_rows(uniq_rows, dict_bytes)
+            full_vals = h_dist[inv]
+            # scatter window hashes into the doc-major output layout
+            f_out = np.repeat(out_starts[full], n_win[full]) + (
+                np.arange(full_vals.size)
+                - np.repeat(np.concatenate(([0], np.cumsum(n_win[full])))[:-1], n_win[full])
+            )
+            hashes[f_out] = full_vals
+        # short docs (< k tokens): one variable-length shingle each
+        short_idx = np.flatnonzero(~full)
+        for i in short_idx:
+            s, c = int(doc_starts[i]), int(toks_per_doc[i])
+            key = b" ".join(dict_bytes[j] for j in codes[s : s + c])
+            hashes[int(out_starts[i])] = self._hash_bytes(key)
+        return hashes, counts
+
+    def _hash_bytes(self, key: bytes) -> int:
+        v = self._cache.get(key)
+        if v is None:
+            v = int.from_bytes(hashlib.sha256(key).digest()[:4], "big")
+            if len(self._cache) < self._MAX_CACHE:
+                self._cache[key] = v
+        return v
+
+    def _hash_id_rows(self, rows: np.ndarray, dict_bytes: list[bytes]) -> np.ndarray:
+        out = np.empty(rows.shape[0], dtype=np.uint64)
+        hb = self._hash_bytes
+        for i, row in enumerate(rows):
+            out[i] = hb(b" ".join(dict_bytes[int(j)] for j in row))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Batched signatures: shingle hashes for the WHOLE batch go
-        through one (num_hashes, total_shingles) vectorized pass +
-        ``np.minimum.reduceat`` per-doc segments — one numpy dispatch per
-        batch instead of one per document (same values as
-        :meth:`signature`; sha256 per distinct shingle is amortized by the
-        per-actor cache)."""
-        texts = batch["text"].to_pylist()
-        flat: list[int] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = self._shingles(t or "")
-            counts[i] = len(sh)
-            if sh:
-                flat.extend(self._hash_shingles(sh))
-        sig_col: list = [None] * len(texts)
+        """Batched signatures: Arrow-split tokens → id-window shingles →
+        sha256 only per DISTINCT shingle, then one
+        (num_hashes, total_windows) vectorized pass +
+        ``np.minimum.reduceat`` per-doc segments. Values identical to
+        :meth:`signature` (the oracle-pinned shingle string is hashed
+        byte-for-byte — only the looping structure changed)."""
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        h, counts = self._batch_shingle_hashes(texts)
+        sig_col: list = [None] * batch.num_rows
         nz = np.flatnonzero(counts)
         if nz.size:
-            h = np.array(flat, dtype=np.uint64)
-            vals = _mod_m61(h[None, :] * self.a[:, None] + self.b[:, None])
+            # permute only the DISTINCT h32 values (typically ~10x fewer
+            # than windows), then gather back to window-major for the
+            # per-doc min — arithmetic on U columns, memory-move on W
+            u, inv = np.unique(h, return_inverse=True)
+            vals_u = _mod_m61(u[None, :] * self.a[:, None] + self.b[:, None])
+            vals = vals_u[:, inv]
             starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
             sigs = np.minimum.reduceat(vals, starts, axis=1)  # (num_hashes, n_nz)
             sigs = sigs.astype(np.int64).T
@@ -177,35 +283,77 @@ def minhash_bands(batch: pa.Table, bands: int = 16, rows: int = 8) -> pa.Table:
     along PACKED as little-endian u64 binary so bucket groups can verify
     pairs without a second join (a list<int64> column costs ~2× in the
     all-to-all shuffle)."""
-    out_band, out_key, out_id, out_sig = [], [], [], []
-    if batch.num_rows:
-        sig_len = None
-        for s in batch["sig"].to_pylist():
-            if s is not None:
-                sig_len = len(s)
-                break
-        if sig_len is not None and bands * rows > sig_len:
-            # out-of-range slices would give every doc band_key '' in the
-            # excess bands — one giant bucket, O(n²) verification
-            raise ValueError(
-                f"bands*rows ({bands}*{rows}) exceeds signature length {sig_len}"
-            )
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        if sig is None:
-            continue
-        packed = np.asarray(sig, dtype=np.int64).astype("<i8").tobytes()
-        for b in range(bands):
-            chunk = sig[b * rows : (b + 1) * rows]
-            out_band.append(b)
-            out_key.append(",".join(str(v) for v in chunk))
-            out_id.append(doc_id)
-            out_sig.append(packed)
+    empty = pa.table(
+        {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_key": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "sig_bin": pa.array([], type=pa.large_binary()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    sig_col = batch["sig"].combine_chunks() if isinstance(
+        batch["sig"], pa.ChunkedArray
+    ) else batch["sig"]
+    valid = pc.is_valid(sig_col)
+    if not pc.any(valid).as_py():
+        return empty
+    sigs = sig_col.filter(valid)
+    ids = batch["doc_id"].combine_chunks().filter(valid)
+    lens = np.asarray(pc.list_value_length(sigs), dtype=np.int64)
+    L = int(lens[0])
+    if (lens != L).any():
+        raise ValueError("ragged signature lengths in batch")
+    if bands * rows > L:
+        # out-of-range slices would give every doc band_key '' in the
+        # excess bands — one giant bucket, O(n²) verification
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) exceeds signature length {L}"
+        )
+    n = len(sigs)
+    flat = pc.list_flatten(sigs)  # (n*L,) int64, doc-major
+    # band_key: per (doc, band), the comma-joined 'rows' slice — all in
+    # Arrow C kernels: int→string cast, re-list as (n*bands) rows-sized
+    # lists, binary_join. SQL-identical to
+    # array_to_string(sig[b*rows+1:(b+1)*rows], ',').
+    flat_str = pc.cast(flat, pa.string())
+    if L == bands * rows:
+        use = flat_str
+    else:  # drop each doc's unused signature tail before re-listing
+        keep_idx = (
+            np.arange(n, dtype=np.int64)[:, None] * L
+            + np.arange(bands * rows, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        use = pc.take(flat_str, pa.array(keep_idx))
+    offsets = pa.array(
+        np.arange(n * bands + 1, dtype=np.int32) * rows, type=pa.int32()
+    )
+    if isinstance(use, pa.ChunkedArray):
+        use = use.combine_chunks()
+    keys = pc.binary_join(pa.ListArray.from_arrays(offsets, use), ",")
+    # packed per-doc signature bytes, one slice per doc, repeated per band
+    data = (
+        pc.list_flatten(sigs)
+        .to_numpy(zero_copy_only=False)
+        .astype("<i8")
+        .tobytes()
+    )
+    doc_offsets = (np.arange(n + 1, dtype=np.int64) * (8 * L)).astype(np.int64)
+    sig_bin = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(doc_offsets.tobytes()), pa.py_buffer(data)],
+    )
+    rep = np.repeat(np.arange(n, dtype=np.int64), bands)
     return pa.table(
         {
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "band_key": pa.array(out_key, type=pa.string()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "sig_bin": pa.array(out_sig, type=pa.large_binary()),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), type=pa.int32()
+            ),
+            "band_key": keys,
+            "doc_id": pc.take(ids, pa.array(rep)),
+            "sig_bin": pc.take(sig_bin, pa.array(rep)),
         }
     )
 

@@ -201,9 +201,9 @@ def asof_join(
     rt_ds = right.map_batches(tag(1, right_key, right_ts, right_id), batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["side"].to_pylist(), dtype=np.int8)
-        t = np.asarray(group["t"].to_pylist(), dtype=np.int64)
-        rid = np.asarray(group["rid"].to_pylist(), dtype=np.int64)
+        side = group["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = group["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        rid = group["rid"].combine_chunks().to_numpy(zero_copy_only=False)
         lmask = side == 0
         lt, lid = t[lmask], rid[lmask]
         rt, rrid = t[~lmask], rid[~lmask]
@@ -468,6 +468,7 @@ def hash_join(
     right_columns: list[str] | None = None,
     broadcast: bool = False,
     salt: int | None = None,
+    salt_keys=None,
 ) -> rd.Dataset:
     """General equi-join (the first relational op Ray Data itself lacks).
 
@@ -494,7 +495,26 @@ def hash_join(
     sub-groups per key (deterministic row-position salt), right rows
     replicated into all R. One hot key then occupies R workers instead of
     one, at the cost of R× the RIGHT side's shuffle volume (use when the
-    hot key's left side dominates). Results identical to unsalted."""
+    hot key's left side dominates). Results identical to unsalted.
+
+    ``salt_keys=[...]`` (requires ``salt``, single join key): salt ONLY
+    the listed hot keys; all other keys keep one group. Measured guidance
+    (BASELINE.md r5, 1M rows / 30% on one key / 32 cpus): salting EVERY
+    key multiplies the group count by R and its per-group overhead
+    swamps the win (unsalted 2.9 s, salt=8 all keys 4.4 s) — while
+    selective salting of just the hot key is strictly better once the
+    hot key's cross product dominates (salt=8 hot-only 1.7 s, salt=16
+    hot-only 1.1 s on a 48M-row hot cross product). Find hot keys with a
+    cheap ``groupby(key).count()`` pre-pass and pass the head here.
+
+    Schema-less empty inputs: when a side is an EMPTY dataset whose
+    schema Ray cannot recover (``schema() is None``), the join degrades
+    gracefully but the output schema differs from the typed-empty case —
+    for ``how='left'``/``'anti'`` against an untyped empty right, only
+    LEFT columns are returned (there is no type information to null-pad
+    right value columns with; a TYPED empty right null-pads them as
+    usual). Pass ``right_columns`` or a typed empty table when downstream
+    code selects right columns in this edge case."""
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = lkeys if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
     if how not in ("inner", "left", "semi", "anti"):
@@ -571,6 +591,13 @@ def hash_join(
     out_schema = pa.schema(out_fields)
 
     R = int(salt) if salt and salt > 1 else 1
+    hot_set = None
+    if salt_keys is not None:
+        if R == 1:
+            raise ValueError("salt_keys requires salt >= 2")
+        if len(lkeys) != 1:
+            raise ValueError("salt_keys supports single-key joins only")
+        hot_set = pa.array(list(salt_keys)).cast(key_types[0])
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -612,15 +639,31 @@ def hash_join(
                 return out.append_column(
                     "_salt", pa.array(np.zeros(n, dtype=np.int8), type=pa.int8())
                 )
-            if side == 0:
-                # left rows spread round-robin by in-batch position
-                return out.append_column(
-                    "_salt",
-                    pa.array((np.arange(n) % R).astype(np.int8), type=pa.int8()),
+            hot = (
+                np.asarray(
+                    # null keys (kept left rows in left/anti joins) are
+                    # never hot — fill the is_in null results with False
+                    pc.fill_null(pc.is_in(out[lkeys[0]], value_set=hot_set), False)
                 )
-            # right rows replicated into every salt bucket
-            idx = np.tile(np.arange(n), R)
-            salts = np.repeat(np.arange(R, dtype=np.int8), n)
+                if hot_set is not None
+                else np.ones(n, dtype=bool)
+            )
+            if side == 0:
+                # (hot) left rows spread round-robin by in-batch position
+                salts = np.where(hot, np.arange(n) % R, 0).astype(np.int8)
+                return out.append_column(
+                    "_salt", pa.array(salts, type=pa.int8())
+                )
+            # (hot) right rows replicated into every salt bucket
+            hot_idx = np.flatnonzero(hot)
+            cold_idx = np.flatnonzero(~hot)
+            idx = np.concatenate([cold_idx, np.tile(hot_idx, R)])
+            salts = np.concatenate(
+                [
+                    np.zeros(cold_idx.size, dtype=np.int8),
+                    np.repeat(np.arange(R, dtype=np.int8), hot_idx.size),
+                ]
+            )
             return out.take(pa.array(idx)).append_column(
                 "_salt", pa.array(salts, type=pa.int8())
             )
@@ -695,10 +738,16 @@ def sessionize(
     fit in a worker — keys are users, whose per-key history is bounded.
     session_id is 1-based in time order within each key.
     """
-    ts_type = None
     sch = ds.schema()
-    if sch is not None and ts in sch.names:
-        ts_type = sch.types[sch.names.index(ts)]
+    if sch is None or ts not in sch.names or key not in sch.names:
+        # the empty-group filler table must carry the REAL ts/key types —
+        # guessing (e.g. timestamp('us')) would emit blocks whose schema
+        # conflicts with real groups and break downstream union/concat
+        raise ValueError(
+            f"sessionize requires a dataset with a known schema containing "
+            f"{key!r} and {ts!r} (got {sch})"
+        )
+    ts_type = sch.types[sch.names.index(ts)]
 
     def merge(group: pa.Table):
         n = group.num_rows
@@ -731,11 +780,11 @@ def sessionize(
 
     empty = pa.table(
         {
-            key: pa.array([], type=sch.types[sch.names.index(key)] if sch else pa.int64()),
+            key: pa.array([], type=sch.types[sch.names.index(key)]),
             "session_id": pa.array([], type=pa.int64()),
             "n_events": pa.array([], type=pa.int64()),
-            "first_ts": pa.array([], type=ts_type or pa.timestamp("us")),
-            "last_ts": pa.array([], type=ts_type or pa.timestamp("us")),
+            "first_ts": pa.array([], type=ts_type),
+            "last_ts": pa.array([], type=ts_type),
             "duration_us": pa.array([], type=pa.int64()),
         }
     )

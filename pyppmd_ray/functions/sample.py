@@ -122,6 +122,13 @@ def grouped_topk(
         # unsigned/INT64_MIN — same discipline as topk())
         _, inv = np.unique(v, return_inverse=True)
         key = inv if ascending else (inv.max() - inv if inv.size else inv)
+        if v.dtype.kind == "f" and inv.size:
+            nan = np.isnan(v)
+            if nan.any():  # NaN sorts last in either direction (np.unique
+                # places NaN at the top rank, which the descending flip
+                # would otherwise promote to rank 0 — same guard as topk)
+                key = key.copy()
+                key[nan] = inv.max() + 1
         order = np.lexsort((t, key, codes))  # group-major, then rank, tie
         codes_sorted = codes[order]
         # positions within each group run

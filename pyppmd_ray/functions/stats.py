@@ -177,7 +177,9 @@ def quantiles(
     Quantiles are over the NON-NULL values (nulls are excluded from both
     the histogram and n, matching SQL aggregate semantics).
 
-    Returns (q, value) float64 rows."""
+    Returns (q, value, exact) rows — ``exact`` is True on the exact path
+    and False on the binned fallback, so callers relying on bit-for-bit
+    SQL-oracle parity can tell which guarantee they got."""
     counts = ds.groupby(col).count().materialize()
     n_distinct = counts.count()
     if n_distinct > distinct_budget:
@@ -206,6 +208,10 @@ def quantiles(
         {
             "q": pa.array(out_q, type=pa.float64()),
             "value": pa.array(out_v, type=pa.float64()),
+            # marks the exact path vs the binned lower-edge approximation
+            # (callers relying on bit-for-bit SQL-oracle parity must check
+            # this — above distinct_budget the values are lower bounds)
+            "exact": pa.array([True] * len(out_q), type=pa.bool_()),
         }
     )
 
@@ -267,5 +273,6 @@ def _binned_quantiles(
         {
             "q": pa.array(out_q, type=pa.float64()),
             "value": pa.array(out_v, type=pa.float64()),
+            "exact": pa.array([False] * len(out_q), type=pa.bool_()),
         }
     )

@@ -201,16 +201,22 @@ class BpeTokenCounter:
     the DuckDB oracle's regexp_extract_all with the identical pattern."""
 
     def __init__(self):
-        self.pat = re.compile(BPE_TOKEN_RE)
+        self.pat = re.compile(BPE_TOKEN_RE)  # kept for count_one / debugging
+
+    def count_one(self, text: str) -> int:
+        return len(self.pat.findall(text or ""))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts = [
-            len(self.pat.findall(t or "")) for t in batch["text"].to_pylist()
-        ]
+        # one RE2 C kernel per batch (non-overlapping match count ==
+        # len(findall): the pattern's ordered alternation reads the same
+        # under Python re and RE2 — the classes are concrete literals)
+        counts = pc.count_substring_regex(
+            pc.fill_null(batch["text"], ""), BPE_TOKEN_RE
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+                "n_bpe_tokens": counts.cast(pa.int64()),
             }
         )
 

@@ -945,7 +945,10 @@ class TestQuantilesNulls:
 
         t = pa.table({"v": pa.array([1.0] * 5 + [2.0] * 5 + [None] * 30)})
         out = quantiles(rd.from_arrow(t), "v", [0.5, 1.0]).to_pylist()
-        assert out == [{"q": 0.5, "value": 1.0}, {"q": 1.0, "value": 2.0}]
+        assert out == [
+            {"q": 0.5, "value": 1.0, "exact": True},
+            {"q": 1.0, "value": 2.0, "exact": True},
+        ]
 
     def test_quantiles_high_cardinality_fallback_bounded(self):
         """Above distinct_budget the exact path would pull the whole
@@ -962,6 +965,7 @@ class TestQuantilesNulls:
         ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
         qs = [0.01, 0.25, 0.5, 0.75, 0.99]
         out = quantiles(ds, "v", qs, distinct_budget=10_000, bins=4096)
+        assert out["exact"].to_pylist() == [False] * len(qs)  # marked approximate
         got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
         sv = np.sort(vals)
         tol = (sv[-1] - sv[0]) / 4096
@@ -972,6 +976,7 @@ class TestQuantilesNulls:
         exact = quantiles(ds, "v", qs).to_pylist()
         for row, q in zip(exact, qs):
             assert row["value"] == sv[max(1, int(np.ceil(q * len(sv)))) - 1]
+            assert row["exact"] is True
 
 
 class TestPii:
@@ -1414,3 +1419,78 @@ class TestDocRareTerms:
             .iter_batches(batch_size=None, batch_format="pyarrow")
         )
         assert sorted(out["term"].to_pylist()) == ["aa", "bb"]
+
+
+class TestRayInternalsPin:
+    """_streaming_map_groups (relational.py) mirrors Ray 2.49's private
+    map_groups plumbing. These pins make a Ray upgrade fail LOUDLY here
+    instead of silently changing group semantics."""
+
+    def test_group_boundary_helper_exists_and_is_contiguous(self):
+        from ray.data.block import BlockAccessor
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 2, 5], type=pa.int64()),
+                "v": pa.array(range(6), type=pa.int64()),
+            }
+        )
+        acc = BlockAccessor.for_block(t)
+        assert hasattr(acc, "_get_group_boundaries_sorted"), (
+            "Ray upgrade removed BlockAccessor._get_group_boundaries_sorted — "
+            "port _streaming_map_groups to the new plumbing"
+        )
+        bounds = list(acc._get_group_boundaries_sorted(["k"]))
+        # contiguous cover of the sorted block: [0, 2, 5, 6]
+        assert bounds[0] == 0 and bounds[-1] == t.num_rows
+        assert bounds == sorted(bounds)
+        groups = [
+            set(t.slice(s, e - s)["k"].to_pylist())
+            for s, e in zip(bounds[:-1], bounds[1:])
+        ]
+        assert all(len(g) == 1 for g in groups), "boundaries split a key group"
+        assert [g.pop() for g in groups] == [1, 2, 5]
+
+    def test_shuffle_strategy_surface(self):
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        assert hasattr(ShuffleStrategy, "HASH_SHUFFLE")
+        ctx = DataContext.get_current()
+        assert hasattr(ctx, "shuffle_strategy")
+        assert isinstance(ctx.default_hash_shuffle_parallelism, int)
+
+
+class TestSaltKeys:
+    def test_selective_salt_matches_unsalted(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        rng = np.random.default_rng(3)
+        keys = np.concatenate([np.zeros(300, dtype=np.int64),
+                               rng.integers(1, 40, size=300).astype(np.int64)])
+        left = pa.table({"k": keys, "lv": np.arange(keys.size, dtype=np.int64)})
+        rk = np.repeat(np.arange(40, dtype=np.int64), 2)
+        right = pa.table({"k": rk, "rv": np.arange(rk.size, dtype=np.int64)})
+
+        def rows(**kw):
+            out = hash_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k", how="inner", **kw
+            ).to_pandas()
+            return sorted(map(tuple, out[["k", "lv", "rv"]].itertuples(index=False)))
+
+        base = rows()
+        assert rows(salt=4, salt_keys=[0]) == base
+        assert rows(salt=4) == base
+        # hot set that matches nothing: degenerates to unsalted grouping
+        assert rows(salt=4, salt_keys=[999]) == base
+
+    def test_salt_keys_validation(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.relational import hash_join
+
+        t = pa.table({"k": pa.array([1], type=pa.int64()),
+                      "v": pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError, match="salt_keys requires salt"):
+            hash_join(rd.from_arrow(t), rd.from_arrow(t), on="k", salt_keys=[1])
