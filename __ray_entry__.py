@@ -802,30 +802,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still locally oracle-checked by tests/test_queries.py regardless of
     # position.
     return {
-        # --- r5 priority block: new/changed this round ---
-        "sessionize": _q_sessionize,
-        "doc_rare_terms": _q_doc_rare_terms,
-        # --- never / stale driver-checked (r4 priority block) ---
-        "lineitem_quantiles": _q_lineitem_quantiles,
-        "events_windowed": _q_events_windowed,
-        "events_windowed_sliding": _q_events_windowed_sliding,
-        "events_windowed_watermark": _q_events_windowed_watermark,
-        "asof_events_orders": _q_asof_events_orders,
-        "asof_events_orders_salted": _q_asof_salted,
-        "prepare_corpus": _q_prepare_corpus,
-        "prepare_corpus_neardup": _q_prepare_corpus_neardup,
-        "multimodal_meta": _q_multimodal,
-        "multimodal_pixels": _q_multimodal_pixels,
-        "multimodal_audio": _q_multimodal_audio,
-        "multimodal_video_frames": _q_multimodal_video,
-        # compression engine round-trips (flagship tables; the remaining
-        # per-table roundtrips are in the tail block)
-        "roundtrip_documents": _q_roundtrip("documents"),
-        "roundtrip_lineitem": _q_roundtrip("lineitem"),
-        "roundtrip_documents_projected": _q_roundtrip_projected,
+        # --- r5 priority block 1: new or code-touched this round ---
+        "sessionize": _q_sessionize,            # new query (r5)
+        "doc_rare_terms": _q_doc_rare_terms,    # new query (r5)
+        "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
+        "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
+        "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
+        "roundtrip_partitioned": _q_roundtrip_partitioned,        # wtok m=2
         "chunking_invariance": _q_chunking_invariance,
-        "roundtrip_partitioned": _q_roundtrip_partitioned,
-        # dedup family
+        "roundtrip_lineitem": _q_roundtrip("lineitem"),
+        # dedup family (r5: vectorized shingling + bands explode)
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash_pairs,
         "dedup_minhash_verified": _q_minhash_verified,
@@ -833,37 +819,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        # text analysis
-        "token_count": _q_token_count,
-        "doc_fingerprint_sha": _q_doc_sha,
-        "doc_stats_by_lang": _q_doc_stats_by_lang,
-        "lang_id": _q_lang_id,
-        "quality_scores": _q_quality,
-        "winnow_fingerprints": _q_winnow,
-        "pii_scan": _q_pii_scan,
-        "pii_redact": _q_pii_redact,
-        # similarity search
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_lsh_ann,
-        "ann_ivf_topk": _q_ivf_ann,
-        "embedding_quantize": _q_embedding_quantize,
-        "token_count_bpe": _q_token_count_bpe,
-        "pack_sequences": _q_pack_sequences,
-        # aggregates / relational / pipeline ops
-        "events_by_type": _q_events_by_type,
-        "lineitem_agg": _q_lineitem_agg,
+        "token_count_bpe": _q_token_count_bpe,  # r5: RE2 kernel count
+        "asof_events_orders": _q_asof_events_orders,   # r5: zero-copy merge
+        "asof_events_orders_salted": _q_asof_salted,
+        "orders_grouped_topk": _q_grouped_topk,        # r5: NaN guard
+        "orders_topk_price": _q_orders_topk,
+        # joins (r5: salt_keys path added alongside)
         "lineitem_orders_join": _q_lineitem_orders_join,
         "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "orders_semi_lineitem": _q_orders_semi,
         "orders_anti_lineitem": _q_orders_anti,
-        "documents_sample": _q_documents_sample,
-        "documents_stratified_sample": _q_documents_stratified,
-        "orders_topk_price": _q_orders_topk,
-        "orders_grouped_topk": _q_grouped_topk,
-        "term_doc_freq": _q_term_doc_freq,
-        "documents_distinct_text": _q_distinct_text,
-        # --- tail block: stable since r01/r02 (rotated past the driver's
-        # 50-query window to make room above; still locally oracle-tested)
+        # --- r5 priority block 2: r03-dated rows due for refresh ---
         "documents_kmv_distinct": _q_kmv_distinct,
         "lineitem_profile": _q_lineitem_profile,
         "roundtrip_orders": _q_roundtrip("orders"),
@@ -876,6 +842,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_supplier": _q_roundtrip("supplier"),
         "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
         "roundtrip_decimal": _q_roundtrip_decimal,
+        # --- untouched, r04-green; keep inside the window while room ---
+        "term_doc_freq": _q_term_doc_freq,
+        "documents_distinct_text": _q_distinct_text,
+        "token_count": _q_token_count,
+        "doc_fingerprint_sha": _q_doc_sha,
+        "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_lsh_ann,
+        "ann_ivf_topk": _q_ivf_ann,
+        "embedding_quantize": _q_embedding_quantize,
+        "pack_sequences": _q_pack_sequences,
+        "events_by_type": _q_events_by_type,
+        "lineitem_agg": _q_lineitem_agg,
+        "documents_sample": _q_documents_sample,
+        "documents_stratified_sample": _q_documents_stratified,
+        # --- tail block: r04-green, code untouched in r5 (rotated past
+        # the driver's 50-query window; still locally oracle-tested by
+        # tests/test_queries.py every run) ---
+        "events_windowed": _q_events_windowed,
+        "events_windowed_sliding": _q_events_windowed_sliding,
+        "events_windowed_watermark": _q_events_windowed_watermark,
+        "prepare_corpus": _q_prepare_corpus,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "multimodal_meta": _q_multimodal,
+        "multimodal_pixels": _q_multimodal_pixels,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_video,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "winnow_fingerprints": _q_winnow,
+        "pii_scan": _q_pii_scan,
+        "pii_redact": _q_pii_redact,
         "compression_by_lang": _q_compression_by_lang,  # no_oracle
         "token_count_bpe_trained": _q_bpe_trained,  # no_oracle
     }
