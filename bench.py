@@ -206,7 +206,13 @@ def _run_bench() -> dict:
 
     t_mh, n_pairs = _timed(
         lambda: minhash_lsh_pairs(
-            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            # the sf documents table is ONE parquet fragment; without a
+            # block override the signature stage runs on a single worker
+            # (production inputs have thousands of fragments) — 16 blocks
+            # exercises the stage the way the 100-TB layout would
+            rd.read_parquet(
+                os.path.join(SF_DIR, "documents.parquet"), override_num_blocks=16
+            ),
             threshold=0.3,
         ).count()  # lazy Dataset — count() drives the whole LSH pipeline
     )

@@ -378,7 +378,7 @@ def term_doc_freq(ds: rd.Dataset) -> rd.Dataset:
     )
 
 
-def doc_rare_terms(ds, max_df: int = 10, k: int = 3):
+def doc_rare_terms(ds, max_df: int = 10, k: int = 3, *, max_df_frac: float | None = None):
     """Per-document distinctive terms: the top-``k`` most frequent terms
     in each document among terms whose corpus document-frequency is
     <= ``max_df`` (ties broken by term ascending). The rare-term
@@ -386,18 +386,31 @@ def doc_rare_terms(ds, max_df: int = 10, k: int = 3):
     document about" — emitted as Dataset(doc_id, term, tf).
 
     Scale shape: filtering needs only MEMBERSHIP in the rare set, and
-    its complement (df > max_df) is the Zipf HEAD — small, bounded by
-    total_docs/max_df distinct terms. So the common-term set is computed
-    by :func:`term_doc_freq` (pre-aggregated shuffle over per-batch
-    partials), collected once, and broadcast via the object store; the
-    per-document term counts and the top-k selection then run entirely
-    map-side (a document lives inside one row), with NO per-document
-    shuffle. Per-batch work is Arrow dictionary_encode + one lexsort.
+    its complement (df > max_df) is the Zipf HEAD — bounded by
+    total_(doc,term)_pairs / max_df distinct terms. So the common-term
+    set is computed by :func:`term_doc_freq` (pre-aggregated shuffle over
+    per-batch partials), collected once, and broadcast via the object
+    store; the per-document term counts and the top-k selection then run
+    entirely map-side (a document lives inside one row), with NO
+    per-document shuffle. Per-batch work is Arrow dictionary_encode +
+    one lexsort.
+
+    **At 100-TB scale use ``max_df_frac``, not an absolute ``max_df``:**
+    with a FIXED max_df the head bound pairs/max_df grows linearly with
+    the corpus and eventually exceeds broadcastable size, while
+    ``max_df_frac=f`` sets max_df = ceil(f × n_docs) so the head is at
+    most avg_terms_per_doc / f terms — a constant independent of corpus
+    size (e.g. f=0.001, 500 terms/doc → ≤ 500k head terms).
     """
     import ray
 
     from pyppmd_ray.functions.broadcast import LazyBroadcast
 
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+        n_docs = ds.count()
+        max_df = max(1, int(np.ceil(max_df_frac * n_docs)))
     common = term_doc_freq(ds.select_columns(["doc_id", "text"]))
     common = common.filter(expr=f"df > {int(max_df)}")
     # the Zipf head is small by construction (df > max_df ⇒ at most

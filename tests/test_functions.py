@@ -1494,3 +1494,34 @@ class TestSaltKeys:
                       "v": pa.array([1], type=pa.int64())})
         with pytest.raises(ValueError, match="salt_keys requires salt"):
             hash_join(rd.from_arrow(t), rd.from_arrow(t), on="k", salt_keys=[1])
+
+
+class TestDocRareTermsFrac:
+    def test_max_df_frac_matches_equivalent_absolute(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import doc_rare_terms
+
+        docs = [(i, "common filler word%d" % (i % 2)) for i in range(10)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+
+        def rows(**kw):
+            out = pa.concat_tables(
+                doc_rare_terms(rd.from_arrow(tbl), k=2, **kw)
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            return sorted(
+                zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                    out["tf"].to_pylist())
+            )
+
+        # frac 0.5 of 10 docs -> max_df 5: word0/word1 (df=5) stay rare,
+        # common/filler (df=10) are head — identical to absolute max_df=5
+        assert rows(max_df_frac=0.5) == rows(max_df=5)
+        with pytest.raises(ValueError, match="max_df_frac"):
+            rows(max_df_frac=1.5)
