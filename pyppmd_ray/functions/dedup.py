@@ -526,18 +526,51 @@ class SimHasher:
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        flat: list[int] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = set(TOKEN_RE.findall(t or ""))
-            counts[i] = len(toks)
-            for w in toks:
-                flat.append(self._hash_word(w))
-        out = np.zeros(len(texts), dtype=np.int64)
+        """Vectorized: Arrow regex split tokenizes the batch, per-doc
+        DISTINCT tokens come from one np.unique over (doc, token-id)
+        pairs (distinctness is load-bearing here — duplicate tokens
+        would double-weight the ±1 sums), and sha256 runs once per
+        distinct dictionary entry (plus the per-actor cache)."""
+        from pyppmd_ray.functions.text import TOKEN_SPLIT_RE, TOKEN_STRIP_CHARS
+
+        n_rows = batch.num_rows
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = np.zeros(n_rows, dtype=np.int64)
+        flat_h = np.empty(0, dtype=np.uint64)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), characters=TOKEN_STRIP_CHARS)
+        nonempty = np.asarray(pc.not_equal(trimmed, ""))
+        ne_idx = np.flatnonzero(nonempty)
+        if ne_idx.size:
+            lists = pc.split_pattern_regex(
+                trimmed.filter(pa.array(nonempty)), TOKEN_SPLIT_RE
+            )
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            flat = pc.list_flatten(lists)
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = max(len(d.dictionary), 1)
+            doc_idx = np.repeat(
+                np.arange(len(lists), dtype=np.int64),
+                np.asarray(pc.list_value_length(lists), dtype=np.int64),
+            )
+            upair = np.unique(doc_idx * np.int64(V) + codes)
+            updoc = upair // np.int64(V)
+            ucode = upair % np.int64(V)
+            hw = self._hash_word
+            dict_hash = np.fromiter(
+                (hw(d.dictionary[int(i)].as_py()) for i in range(len(d.dictionary))),
+                dtype=np.uint64,
+                count=len(d.dictionary),
+            )
+            flat_h = dict_hash[ucode]
+            counts[ne_idx] = np.bincount(updoc, minlength=ne_idx.size)
+        out = np.zeros(n_rows, dtype=np.int64)
         nz = np.flatnonzero(counts)
         if nz.size:
-            h = np.array(flat, dtype=np.uint64)
+            h = flat_h
             bits = ((h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(bool)
             pm = np.where(bits, np.int32(1), np.int32(-1))  # (total, 63)
             starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))

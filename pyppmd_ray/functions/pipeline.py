@@ -9,6 +9,7 @@ into a single streaming Dataset (no driver materialization anywhere).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -32,11 +33,10 @@ def prepare_corpus(
 
     def gate(batch: pa.Table) -> pa.Table:
         m = scorer(batch)
-        keep = [
-            (nt >= min_tokens) and (ar > min_alpha_ratio)
-            for nt, ar in zip(m["n_tokens"].to_pylist(), m["alpha_ratio"].to_pylist())
-        ]
-        mask = pa.array(keep)
+        mask = pc.and_(
+            pc.greater_equal(m["n_tokens"], min_tokens),
+            pc.greater(m["alpha_ratio"], min_alpha_ratio),
+        )
         return pa.table(
             {
                 "doc_id": m["doc_id"].filter(mask),
@@ -86,11 +86,10 @@ def prepare_corpus_neardup(
 
     def gate(batch: pa.Table) -> pa.Table:
         m = scorer(batch)
-        keep = [
-            (nt >= min_tokens) and (ar > min_alpha_ratio)
-            for nt, ar in zip(m["n_tokens"].to_pylist(), m["alpha_ratio"].to_pylist())
-        ]
-        mask = pa.array(keep)
+        mask = pc.and_(
+            pc.greater_equal(m["n_tokens"], min_tokens),
+            pc.greater(m["alpha_ratio"], min_alpha_ratio),
+        )
         return pa.table(
             {
                 "doc_id": m["doc_id"].filter(mask),

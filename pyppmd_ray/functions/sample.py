@@ -167,8 +167,25 @@ def stratified_sample(
 
     def keep(batch: pa.Table) -> pa.Table:
         h = sha256_prefix_u64(batch[key_col]) % np.uint64(SAMPLE_DENOM)
-        groups = batch[group_col].to_pylist()
-        cut = np.array([cuts.get(g, zero) for g in groups], dtype=np.uint64)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        # rate lookup once per DISTINCT group value, then one gather
+        # (null groups get rate 0 — same as the absent-from-rates case)
+        d = g.dictionary_encode()
+        codes = (
+            pc.fill_null(d.indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lut = np.array(
+            [cuts.get(v.as_py(), zero) for v in d.dictionary], dtype=np.uint64
+        )
+        cut = (
+            np.where(codes >= 0, lut[np.maximum(codes, 0)], zero)
+            if len(lut)
+            else np.zeros(len(g), dtype=np.uint64)
+        )
         return batch.filter(pa.array(h < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
