@@ -93,3 +93,50 @@ def test_f2_engine_beats_live_ppmd_if_built(f2_corpus):
     ref = pyppmd.compress(f2_corpus, max_order=6, mem_size=16 << 20, variant="H")
     blob = encode_fieldt(f2_corpus)
     assert len(blob) <= len(ref), f"engine {len(blob)} > live pyppmd var.H {len(ref)}"
+
+
+# F3 prose corpus: the documents text column — the corpus class where the
+# round-4 engine still lost to var.H by 6%. The r5 wtok m=2 path
+# (15-bit-precision rANS over token ids + front-coded vocab) flipped it:
+# 173,603 B vs var.H's 175,771 B on the sf0.1 text data [2026-08-17].
+F3_PINNED_PPMD = 175_771  # var.H o6/16MB on the sf0.1 documents text data part
+F3_SF_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def f3_text_bytes():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyppmd_ray.stages.blocks import canonical_column_bytes
+
+    path = os.path.join(F3_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata not present")
+    t = pq.read_table(path, columns=["text"])
+    _, data = canonical_column_bytes(t["text"])
+    return data
+
+
+def test_f3_prose_engine_beats_pinned_ppmd(f3_text_bytes):
+    from pyppmd_ray.codecs import decode_blob
+    from pyppmd_ray.codecs.wtok import encode_wtok
+
+    blob = encode_wtok(f3_text_bytes)
+    assert decode_blob(blob) == f3_text_bytes
+    assert len(blob) <= F3_PINNED_PPMD, (
+        f"engine {len(blob)} > pyppmd var.H {F3_PINNED_PPMD} on prose"
+    )
+
+
+def test_f3_prose_engine_beats_live_ppmd_if_built(f3_text_bytes):
+    sys.path.insert(0, "/tmp/refbuild/src")
+    pyppmd = pytest.importorskip("pyppmd")
+    from pyppmd_ray.codecs.wtok import encode_wtok
+
+    ref = pyppmd.compress(f3_text_bytes, max_order=6, mem_size=16 << 20, variant="H")
+    blob = encode_wtok(f3_text_bytes)
+    assert len(blob) <= len(ref), (
+        f"engine {len(blob)} > live pyppmd var.H {len(ref)} on prose"
+    )
