@@ -280,6 +280,16 @@ def _q_doc_rare_terms(sf_dir: str):
     return doc_rare_terms(_ds(sf_dir, "documents"), max_df=30, k=3)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact φ-heavy-hitters over the documents token stream
+    (φ=0.033 splits the synthetic vocab): candidate pass bounded by
+    blocks/φ terms, broadcast-verify pass — the bounded-shuffle
+    alternative to a full groupby(term) at web-scale vocabulary."""
+    from pyppmd_ray.functions.text import heavy_hitters
+
+    return heavy_hitters(_ds(sf_dir, "documents"), phi=0.033)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -805,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r5 priority block 1: new or code-touched this round ---
         "sessionize": _q_sessionize,            # new query (r5)
         "doc_rare_terms": _q_doc_rare_terms,    # new query (r5)
+        "doc_heavy_hitters": _q_heavy_hitters,  # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -855,11 +866,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
-        "documents_sample": _q_documents_sample,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
+        "documents_sample": _q_documents_sample,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
         "events_windowed_watermark": _q_events_windowed_watermark,
@@ -1425,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
             "  min(ts) AS first_ts, max(ts) AS last_ts, "
             "  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "doc_heavy_hitters": (
+            "WITH toks AS ("
+            "  SELECT unnest(regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+')) AS term "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "tot AS (SELECT count(*) AS n FROM toks) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+            "GROUP BY term "
+            "HAVING count(*) >= ceil(0.033 * (SELECT n FROM tot))"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

@@ -494,3 +494,141 @@ def doc_rare_terms(ds, max_df: int = 10, k: int = 3, *, max_df_frac: float | Non
     return ds.select_columns(["doc_id", "text"]).map_batches(
         per_doc, batch_format="pyarrow"
     )
+
+
+def _hh_tokenize(batch: pa.Table):
+    """Shared tokenizer for the heavy-hitter passes: THE engine token
+    definition (trim + split on whitespace), returning the flat token
+    array for the batch (possibly empty)."""
+    txt = pc.fill_null(batch["text"], "")
+    trimmed = pc.utf8_trim(txt, characters=TOKEN_STRIP_CHARS)
+    trimmed = trimmed.filter(pc.not_equal(trimmed, ""))
+    if len(trimmed) == 0:
+        return pa.array([], type=pa.string())
+    lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return pc.list_flatten(lists)
+
+
+def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
+    """EXACT φ-heavy-hitters: every term whose corpus frequency is
+    ≥ ceil(φ·N) tokens, with its exact count — Dataset(term, tf).
+
+    This is the candidate+verify pattern that :func:`term_doc_freq`
+    cannot give at extreme cardinality: a plain groupby(term) shuffles
+    EVERY distinct term (10⁹+ at web scale), while the heavy-hitter
+    shuffle is bounded by blocks/φ CANDIDATES regardless of vocabulary.
+
+    Pass 1 (candidates): each batch counts its own tokens (Arrow
+    dictionary_encode + bincount) and emits only terms with
+    local_tf ≥ φ·local_n, plus one sentinel row carrying local_n.
+    Pigeonhole guarantee: if tf(t) ≥ φ·N globally, then some batch has
+    local_tf(t) ≥ φ·local_n — the union of per-batch candidates is a
+    SUPERSET of the true answer, and each batch emits ≤ 1/φ terms, so
+    the collected candidate table is ≤ batches/φ rows (φ=0.001, 10⁵
+    blocks → ≤ 10⁸ bytes of terms; tune φ to the cluster).
+
+    Pass 2 (verify): the candidate set is broadcast once
+    (``ray.put``); each batch counts ONLY candidate tokens
+    (``pc.is_in`` membership filter) and the final
+    ``groupby(term).sum`` + threshold filter runs over candidates
+    alone. Both passes stream; nothing driver-side scales with N or
+    with vocabulary size.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from pyppmd_ray.functions.broadcast import LazyBroadcast
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        flat = _hh_tokenize(batch)
+        n = len(flat)
+        sentinel = pa.table(
+            {
+                "term": pa.array([None], type=pa.string()),
+                "tf": pa.array([n], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return sentinel
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = np.bincount(codes, minlength=len(d.dictionary))
+        keep = np.flatnonzero(tf >= phi * n)
+        if keep.size == 0:
+            return sentinel
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "term": pc.take(d.dictionary, pa.array(keep)).cast(
+                            pa.string()
+                        ),
+                        "tf": pa.array(tf[keep], type=pa.int64()),
+                    }
+                ),
+                sentinel,
+            ]
+        )
+
+    # bounded collect: ≤ batches×(1/φ + 1) rows by construction
+    parts = list(
+        ds.select_columns(["text"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    cand_tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    null_mask = pc.is_null(cand_tbl["term"])
+    n_total = int(
+        pc.sum(cand_tbl["tf"].filter(null_mask)).as_py() or 0
+    )
+    cand = pc.unique(cand_tbl["term"].filter(pc.invert(null_mask)).combine_chunks())
+    empty = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if n_total == 0 or len(cand) == 0:
+        return rd.from_arrow(empty)
+    threshold = int(np.ceil(phi * n_total))
+    bcast = LazyBroadcast(ray.put(cand))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        flat = _hh_tokenize(batch)
+        if len(flat) == 0:
+            return empty
+        flat = flat.filter(pc.is_in(flat, value_set=bcast.state))
+        if len(flat) == 0:
+            return empty
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = np.bincount(codes, minlength=len(d.dictionary))
+        return pa.table(
+            {
+                "term": d.dictionary.cast(pa.string()),
+                "tf": pa.array(tf, type=pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.select_columns(["text"])
+        .map_batches(verify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    return exact.filter(expr=f"tf >= {threshold}")

@@ -1315,6 +1315,79 @@ class TestGroupedTopkTermFreq:
         assert out.tf.tolist() == [2, 2, 1]
 
 
+class TestHeavyHitters:
+    def _corpus(self):
+        # 4000 singleton terms (the long tail a full groupby would
+        # shuffle) + 3 hot terms; one doc per row, spread over 8 blocks
+        rng = np.random.default_rng(7)
+        docs = []
+        hot = ["alpha"] * 900 + ["beta"] * 500 + ["gamma"] * 120
+        tail = [f"t{i:05d}" for i in range(4000)]
+        words = hot + tail
+        rng.shuffle(words)
+        for i in range(0, len(words), 20):
+            docs.append(" ".join(words[i : i + 20]))
+        return pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": docs,
+            }
+        )
+
+    def test_exact_counts_high_cardinality(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import heavy_hitters
+
+        tbl = self._corpus()
+        # N = 5520 tokens; phi=0.02 -> threshold ceil(110.4)=111:
+        # alpha/beta/gamma qualify, all 4000 singletons must not
+        out = (
+            heavy_hitters(rd.from_arrow(tbl).repartition(8), phi=0.02)
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        assert out.term.tolist() == ["alpha", "beta", "gamma"]
+        assert out.tf.tolist() == [900, 500, 120]
+
+    def test_threshold_excludes_below_phi(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import heavy_hitters
+
+        tbl = self._corpus()
+        # phi=0.1 -> threshold 552: only alpha survives
+        out = heavy_hitters(rd.from_arrow(tbl).repartition(4), phi=0.1).to_pandas()
+        assert out.term.tolist() == ["alpha"]
+        assert out.tf.tolist() == [900]
+
+    def test_empty_and_null_text(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import heavy_hitters
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array([None, "   "], type=pa.string()),
+            }
+        )
+        out = heavy_hitters(rd.from_arrow(tbl), phi=0.5)
+        # Dataset keeps the (term, tf) schema even when empty (Ray's
+        # to_pandas drops columns of a 0-row dataset, so check schema())
+        assert out.count() == 0
+        assert out.schema().names == ["term", "tf"]
+
+    def test_phi_validation(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import heavy_hitters
+
+        with pytest.raises(ValueError):
+            heavy_hitters(rd.from_arrow(self._corpus()), phi=0.0)
+
+
 class TestSessionize:
     def test_gap_splitting_and_summary(self):
         import ray.data as rd
