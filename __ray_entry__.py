@@ -290,6 +290,21 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_ds(sf_dir, "documents"), phi=0.033)
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any word 5-gram
+    with the 'benchmark' slice (doc_id % 97 == 0). Benchmark gram set
+    broadcast once; the corpus side is a zero-shuffle map-side scan."""
+    from pyppmd_ray.functions.text import contamination
+
+    def bench_slice(b):
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    docs = _ds(sf_dir, "documents")
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return contamination(docs, bench, n=5)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -816,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,            # new query (r5)
         "doc_rare_terms": _q_doc_rare_terms,    # new query (r5)
         "doc_heavy_hitters": _q_heavy_hitters,  # new query (r5)
+        "doc_contamination": _q_contamination,  # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -865,12 +881,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "pack_sequences": _q_pack_sequences,
         "events_by_type": _q_events_by_type,
-        "lineitem_agg": _q_lineitem_agg,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "lineitem_agg": _q_lineitem_agg,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
         "events_windowed_watermark": _q_events_windowed_watermark,
@@ -1446,6 +1462,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks "
             "GROUP BY term "
             "HAVING count(*) >= ceil(0.033 * (SELECT n FROM tot))"
+        ),
+        "doc_contamination": (
+            # word 5-grams on both sides; bench slice = doc_id % 97 == 0
+            "WITH dt AS ("
+            "  SELECT doc_id, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "dg AS ("
+            "  SELECT doc_id, array_to_string(toks[t.i : t.i + 4], ' ') AS gram "
+            "  FROM dt, unnest(generate_series(1, "
+            "    greatest(len(toks) - 4, 0))) AS t(i)), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0), "
+            "c AS ("
+            "  SELECT dg.doc_id, count(*) AS n_grams, count(bg.gram) AS n_hits "
+            "  FROM dg LEFT JOIN bg ON dg.gram = bg.gram GROUP BY dg.doc_id) "
+            "SELECT d.doc_id, "
+            "  CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams, "
+            "  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits, "
+            "  coalesce(c.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

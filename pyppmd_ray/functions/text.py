@@ -511,6 +511,107 @@ def _hh_tokenize(batch: pa.Table):
     return pc.list_flatten(lists)
 
 
+def _word_ngrams(texts, n: int):
+    """Vectorized word n-gram extraction over a column of texts.
+
+    Returns ``(grams, row_idx)``: the flat n-gram strings ("w1 w2 ... wn",
+    engine tokenization) and the LOCAL row index each gram belongs to —
+    built from n shifted zero-copy slices of the flat token array joined
+    by one Arrow ``binary_join_element_wise`` kernel call, with windows
+    that would cross a row boundary masked out. No per-row Python loop.
+    """
+    trimmed = pc.utf8_trim(pc.fill_null(texts, ""), characters=TOKEN_STRIP_CHARS)
+    lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    # an all-whitespace row still splits to [""] — drop those tokens'
+    # rows by treating them as length 0 via the empty-trimmed mask
+    empty_rows = np.asarray(pc.equal(trimmed, ""), dtype=bool)
+    row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    keep_tok = ~empty_rows[row_idx]
+    if not keep_tok.all():
+        flat = flat.filter(pa.array(keep_tok))
+        row_idx = row_idx[keep_tok]
+    m = len(flat)
+    if m < n:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    w = m - n + 1
+    valid = row_idx[:w] == row_idx[n - 1 :]
+    parts = [flat.slice(j, w) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    if not valid.all():
+        grams = grams.filter(pa.array(valid))
+    return grams, row_idx[:w][valid]
+
+
+def contamination(
+    ds: rd.Dataset, benchmark: rd.Dataset, n: int = 5
+) -> rd.Dataset:
+    """Benchmark decontamination scan: for every document, how many of
+    its word ``n``-grams appear in the ``benchmark`` corpus —
+    Dataset(doc_id, n_grams, n_hits, contaminated). The
+    eval-set-leakage gate every LLM training pipeline runs before
+    training (flag/drop docs overlapping test sets).
+
+    Scale shape — ZERO shuffle: the benchmark (eval suites: MBs, the
+    small side by definition) is reduced to its distinct n-gram set
+    with per-batch ``unique`` partials, collected once, and broadcast
+    via ``ray.put``; the 100-TB documents side is then a pure map-side
+    pass (n-gram windows from shifted token slices + one ``is_in``
+    membership kernel + a per-doc bincount). No groupby anywhere — a
+    document's count completes inside its own batch.
+    """
+    import ray
+
+    from pyppmd_ray.functions.broadcast import LazyBroadcast
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(batch["text"], n)
+        return pa.table({"gram": pc.unique(g)})
+
+    parts = list(
+        benchmark.select_columns(["text"])
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    gram_set = (
+        pc.unique(pa.concat_tables(parts)["gram"].combine_chunks())
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    bcast = LazyBroadcast(ray.put(gram_set))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        n_grams = np.zeros(n_rows, dtype=np.int64)
+        n_hits = np.zeros(n_rows, dtype=np.int64)
+        grams, widx = _word_ngrams(batch["text"], n)
+        if len(grams):
+            np.add.at(n_grams, widx, 1)
+            if len(bcast.state):
+                hit = np.asarray(
+                    pc.is_in(grams, value_set=bcast.state), dtype=bool
+                )
+                np.add.at(n_hits, widx[hit], 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, type=pa.int64()),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
 def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
     """EXACT φ-heavy-hitters: every term whose corpus frequency is
     ≥ ceil(φ·N) tokens, with its exact count — Dataset(term, tf).

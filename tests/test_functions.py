@@ -1388,6 +1388,62 @@ class TestHeavyHitters:
             heavy_hitters(rd.from_arrow(self._corpus()), phi=0.0)
 
 
+class TestContamination:
+    def test_flags_and_counts(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import contamination
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    "the quick brown fox jumps over",  # grams: 4 (n=3)
+                    "lazy dog sleeps",                 # 1 gram, clean
+                    "quick brown fox jumps high now",  # shares 2 grams w/ bench
+                    "xx",                              # < n tokens: 0 grams
+                    None,
+                ],
+            }
+        )
+        bench = pa.table(
+            {"text": ["a the quick brown fox jumps b", "unrelated words here"]}
+        )
+        out = (
+            contamination(
+                rd.from_arrow(docs), rd.from_arrow(bench).repartition(2), n=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.n_grams.tolist() == [4, 1, 4, 0, 0]
+        # doc1: "the quick brown","quick brown fox","brown fox jumps" hit
+        assert out.n_hits.tolist() == [3, 0, 2, 0, 0]
+        assert out.contaminated.tolist() == [True, False, True, False, False]
+
+    def test_empty_benchmark(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import contamination
+
+        docs = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": ["a b c d"]}
+        )
+        bench = pa.table({"text": pa.array([None, "  "], type=pa.string())})
+        out = contamination(rd.from_arrow(docs), rd.from_arrow(bench), n=3).to_pandas()
+        assert out.n_grams.tolist() == [2]
+        assert out.n_hits.tolist() == [0]
+        assert out.contaminated.tolist() == [False]
+
+    def test_ngrams_do_not_cross_rows(self):
+        from pyppmd_ray.functions.text import _word_ngrams
+
+        grams, widx = _word_ngrams(pa.array(["a b", "c d"]), 2)
+        assert grams.to_pylist() == ["a b", "c d"]
+        assert widx.tolist() == [0, 1]
+
+
 class TestSessionize:
     def test_gap_splitting_and_summary(self):
         import ray.data as rd
