@@ -305,6 +305,14 @@ def _q_contamination(sf_dir: str):
     return contamination(docs, bench, n=5)
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document (dup-token /
+    top-token / dup-2gram / dup-5gram fractions) — map-side only."""
+    from pyppmd_ray.functions.text import repetition_scores
+
+    return repetition_scores(_ds(sf_dir, "documents"))
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -832,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rare_terms": _q_doc_rare_terms,    # new query (r5)
         "doc_heavy_hitters": _q_heavy_hitters,  # new query (r5)
         "doc_contamination": _q_contamination,  # new query (r5)
+        "doc_repetition": _q_repetition,        # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -880,12 +889,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf_ann,
         "embedding_quantize": _q_embedding_quantize,
         "pack_sequences": _q_pack_sequences,
-        "events_by_type": _q_events_by_type,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
         "events_windowed": _q_events_windowed,
         "events_windowed_sliding": _q_events_windowed_sliding,
@@ -1482,6 +1491,39 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits, "
             "  coalesce(c.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id"
+        ),
+        "doc_repetition": (
+            "WITH dt AS ("
+            "  SELECT doc_id, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term FROM dt), "
+            "tc AS (SELECT doc_id, term, count(*) AS c FROM tok "
+            "       GROUP BY doc_id, term), "
+            "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
+            "       count(*) AS d, max(c) AS mx FROM tc GROUP BY doc_id), "
+            "g2 AS (SELECT doc_id, array_to_string(toks[t.i : t.i + 1], ' ') AS gram "
+            "  FROM dt, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)), "
+            "g2s AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d "
+            "        FROM g2 GROUP BY doc_id), "
+            "g5 AS (SELECT doc_id, array_to_string(toks[t.i : t.i + 4], ' ') AS gram "
+            "  FROM dt, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)), "
+            "g5s AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d "
+            "        FROM g5 GROUP BY doc_id) "
+            "SELECT doc.doc_id, "
+            "  CAST(coalesce(ts.n, 0) AS BIGINT) AS n_tokens, "
+            "  coalesce(1.0 - CAST(ts.d AS DOUBLE) / CAST(ts.n AS DOUBLE), 0.0) "
+            "    AS dup_token_frac, "
+            "  coalesce(CAST(ts.mx AS DOUBLE) / CAST(ts.n AS DOUBLE), 0.0) "
+            "    AS top_token_frac, "
+            "  coalesce(1.0 - CAST(g2s.d AS DOUBLE) / CAST(g2s.n AS DOUBLE), 0.0) "
+            "    AS dup_2gram_frac, "
+            "  coalesce(1.0 - CAST(g5s.d AS DOUBLE) / CAST(g5s.n AS DOUBLE), 0.0) "
+            "    AS dup_5gram_frac "
+            "FROM documents doc "
+            "LEFT JOIN ts ON doc.doc_id = ts.doc_id "
+            "LEFT JOIN g2s ON doc.doc_id = g2s.doc_id "
+            "LEFT JOIN g5s ON doc.doc_id = g5s.doc_id"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

@@ -546,6 +546,79 @@ def _word_ngrams(texts, n: int):
     return grams, row_idx[:w][valid]
 
 
+def _dup_stats(keys: pa.Array, row_idx: np.ndarray, n_rows: int):
+    """Per-row (total, distinct, max_count) over a flat key stream —
+    one dictionary_encode + one np.unique over packed (row, code) pairs;
+    no per-row loop. Rows with no keys get zeros."""
+    total = np.zeros(n_rows, dtype=np.int64)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    mx = np.zeros(n_rows, dtype=np.int64)
+    if len(keys) == 0:
+        return total, distinct, mx
+    d = keys.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = max(len(d.dictionary), 1)
+    np.add.at(total, row_idx, 1)
+    pair, cnt = np.unique(row_idx * np.int64(V) + codes, return_counts=True)
+    pdoc = pair // np.int64(V)  # sorted ascending -> grouped by row
+    np.add.at(distinct, pdoc, 1)
+    starts = np.flatnonzero(np.r_[True, pdoc[1:] != pdoc[:-1]])
+    mx[pdoc[starts]] = np.maximum.reduceat(cnt, starts)
+    return total, distinct, mx
+
+
+def repetition_scores(ds: rd.Dataset) -> rd.Dataset:
+    """Gopher-style repetition quality signals per document —
+    Dataset(doc_id, n_tokens, dup_token_frac, top_token_frac,
+    dup_2gram_frac, dup_5gram_frac). High duplicate-n-gram fractions
+    mark boilerplate/spam for the quality-filter stage (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters).
+
+    dup_k_frac = 1 - distinct_kgrams/total_kgrams (0 when no windows);
+    top_token_frac = max token count / n_tokens. Entirely map-side
+    (a document lives in one row; zero shuffle), one dictionary_encode
+    + packed-pair np.unique per signal — no per-row Python loop.
+    """
+
+    def scores(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        texts = batch["text"]
+        toks, tok_row = _word_ngrams(texts, 1)
+        t_total, t_distinct, t_mx = _dup_stats(toks, tok_row, n_rows)
+        g2, g2_row = _word_ngrams(texts, 2)
+        g2_total, g2_distinct, _ = _dup_stats(g2, g2_row, n_rows)
+        g5, g5_row = _word_ngrams(texts, 5)
+        g5_total, g5_distinct, _ = _dup_stats(g5, g5_row, n_rows)
+
+        def dup_frac(total, distinct):
+            out = np.zeros(len(total), dtype=np.float64)
+            nz = total > 0
+            # mirror the SQL oracle expression exactly:
+            # 1.0 - CAST(distinct AS DOUBLE) / CAST(total AS DOUBLE)
+            out[nz] = 1.0 - distinct[nz].astype(np.float64) / total[nz].astype(
+                np.float64
+            )
+            return out
+
+        top_frac = np.zeros(n_rows, dtype=np.float64)
+        nz = t_total > 0
+        top_frac[nz] = t_mx[nz].astype(np.float64) / t_total[nz].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(t_total, type=pa.int64()),
+                "dup_token_frac": pa.array(dup_frac(t_total, t_distinct)),
+                "top_token_frac": pa.array(top_frac),
+                "dup_2gram_frac": pa.array(dup_frac(g2_total, g2_distinct)),
+                "dup_5gram_frac": pa.array(dup_frac(g5_total, g5_distinct)),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        scores, batch_format="pyarrow"
+    )
+
+
 def contamination(
     ds: rd.Dataset, benchmark: rd.Dataset, n: int = 5
 ) -> rd.Dataset:

@@ -1444,6 +1444,48 @@ class TestContamination:
         assert widx.tolist() == [0, 1]
 
 
+class TestRepetitionScores:
+    def test_crafted_fractions(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import repetition_scores
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": [
+                    "a b a b a b a b",   # 8 toks, 2 distinct; 7 2grams 2 distinct; 4 5grams 2 distinct
+                    "w x y z",           # all unique
+                    "",                  # empty -> zeros
+                    None,
+                ],
+            }
+        )
+        out = (
+            repetition_scores(rd.from_arrow(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.n_tokens.tolist() == [8, 4, 0, 0]
+        assert out.dup_token_frac.tolist() == [1 - 2 / 8, 0.0, 0.0, 0.0]
+        assert out.top_token_frac.tolist() == [4 / 8, 1 / 4, 0.0, 0.0]
+        assert out.dup_2gram_frac.tolist() == [1 - 2 / 7, 0.0, 0.0, 0.0]
+        assert out.dup_5gram_frac.tolist() == [1 - 2 / 4, 0.0, 0.0, 0.0]
+
+    def test_short_doc_no_windows(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import repetition_scores
+
+        docs = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": ["only three words"]}
+        )
+        out = repetition_scores(rd.from_arrow(docs)).to_pandas()
+        assert out.n_tokens.tolist() == [3]
+        assert out.dup_5gram_frac.tolist() == [0.0]
+
+
 class TestSessionize:
     def test_gap_splitting_and_summary(self):
         import ray.data as rd
