@@ -313,6 +313,15 @@ def _q_repetition(sf_dir: str):
     return repetition_scores(_ds(sf_dir, "documents"))
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Token-budget chunking (1→N explode before sequence packing):
+    each document split into ≤24-token chunks, map-side zero-copy
+    ListArray windows + one binary_join kernel."""
+    from pyppmd_ray.functions.text import chunk_documents
+
+    return chunk_documents(_ds(sf_dir, "documents"), max_tokens=24)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -841,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heavy_hitters": _q_heavy_hitters,  # new query (r5)
         "doc_contamination": _q_contamination,  # new query (r5)
         "doc_repetition": _q_repetition,        # new query (r5)
+        "doc_chunks": _q_chunk_documents,       # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -882,7 +892,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "documents_distinct_text": _q_distinct_text,
         "token_count": _q_token_count,
-        "doc_fingerprint_sha": _q_doc_sha,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
@@ -894,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "doc_fingerprint_sha": _q_doc_sha,
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
         "events_windowed": _q_events_windowed,
@@ -1524,6 +1534,19 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN ts ON doc.doc_id = ts.doc_id "
             "LEFT JOIN g2s ON doc.doc_id = g2s.doc_id "
             "LEFT JOIN g5s ON doc.doc_id = g5s.doc_id"
+        ),
+        "doc_chunks": (
+            "WITH dt AS ("
+            "  SELECT doc_id, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> '') "
+            "SELECT doc_id, t.i AS chunk_id, "
+            "  array_to_string(toks[t.i * 24 + 1 : "
+            "    least((t.i + 1) * 24, len(toks))], ' ') AS text, "
+            "  CAST(least((t.i + 1) * 24, len(toks)) - t.i * 24 AS BIGINT) "
+            "    AS n_tokens "
+            "FROM dt, unnest(generate_series(0, "
+            "  (len(toks) + 23) // 24 - 1)) AS t(i)"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

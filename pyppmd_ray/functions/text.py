@@ -619,6 +619,72 @@ def repetition_scores(ds: rd.Dataset) -> rd.Dataset:
     )
 
 
+def chunk_documents(ds: rd.Dataset, max_tokens: int = 512) -> rd.Dataset:
+    """Split every document into consecutive chunks of at most
+    ``max_tokens`` whitespace tokens — Dataset(doc_id, chunk_id, text,
+    n_tokens), the 1→N explode that precedes sequence packing in a
+    training-data pipeline (long docs must be cut to the context budget
+    before :func:`~pyppmd_ray.functions.sequence.pack_sequences`).
+
+    Chunk text is the token window re-joined with single spaces (the
+    same normalization as the SQL oracle's ``array_to_string``).
+    Entirely map-side: chunk windows are zero-copy
+    ``ListArray.from_arrays`` offsets into the batch's flat token
+    array (chunks tile the token stream, so window ends ARE the next
+    window's starts), joined by one Arrow ``binary_join`` kernel — no
+    per-row loop, no shuffle, output fans out within the batch.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        trimmed = pc.utf8_trim(
+            pc.fill_null(batch["text"], ""), characters=TOKEN_STRIP_CHARS
+        )
+        nonempty = np.asarray(pc.not_equal(trimmed, ""), dtype=bool)
+        if not nonempty.any():
+            return empty
+        mask = pa.array(nonempty)
+        doc_ids = batch["doc_id"].combine_chunks().filter(mask)
+        lists = pc.split_pattern_regex(trimmed.filter(mask), TOKEN_SPLIT_RE)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        tok_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n_chunks = -(-lens // max_tokens)  # ceil; lens >= 1 here
+        doc_of_chunk = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_id = np.arange(doc_of_chunk.size, dtype=np.int64) - first[doc_of_chunk]
+        starts = tok_start[doc_of_chunk] + chunk_id * max_tokens
+        ends = np.minimum(starts + max_tokens, tok_start[doc_of_chunk] + lens[doc_of_chunk])
+        # chunks tile the flat token array: ends[i] == starts[i+1]
+        offsets = pa.array(
+            np.append(starts, len(flat)).astype(np.int32), type=pa.int32()
+        )
+        windows = pa.ListArray.from_arrays(offsets, flat)
+        return pa.table(
+            {
+                "doc_id": pc.take(doc_ids, pa.array(doc_of_chunk)),
+                "chunk_id": pa.array(chunk_id, type=pa.int64()),
+                "text": pc.binary_join(windows, " "),
+                "n_tokens": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def contamination(
     ds: rd.Dataset, benchmark: rd.Dataset, n: int = 5
 ) -> rd.Dataset:

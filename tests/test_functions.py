@@ -1444,6 +1444,47 @@ class TestContamination:
         assert widx.tolist() == [0, 1]
 
 
+class TestChunkDocuments:
+    def test_splitting_and_normalization(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import chunk_documents
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [
+                    "a b c d e f g",     # 7 toks @3 -> 3,3,1
+                    "  x\t\ty  ",        # whitespace normalized to "x y"
+                    None,                # no chunks
+                ],
+            }
+        )
+        out = (
+            chunk_documents(rd.from_arrow(docs), max_tokens=3)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [1, 1, 1, 2]
+        assert out.chunk_id.tolist() == [0, 1, 2, 0]
+        assert out.text.tolist() == ["a b c", "d e f", "g", "x y"]
+        assert out.n_tokens.tolist() == [3, 3, 1, 2]
+
+    def test_budget_boundary(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import chunk_documents
+
+        docs = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": ["a b c d"]}
+        )
+        out = chunk_documents(rd.from_arrow(docs), max_tokens=4).to_pandas()
+        assert out.text.tolist() == ["a b c d"]
+        with pytest.raises(ValueError):
+            chunk_documents(rd.from_arrow(docs), max_tokens=0)
+
+
 class TestRepetitionScores:
     def test_crafted_fractions(self):
         import ray.data as rd
