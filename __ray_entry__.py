@@ -322,6 +322,16 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_ds(sf_dir, "documents"), max_tokens=24)
 
 
+def _q_chunk_reassemble(sf_dir: str):
+    """Composed chunk → reassemble roundtrip: split to 24-token chunks,
+    then stitch back in chunk order via one hash-partitioned groupby.
+    Result = whitespace-normalized documents (+ chunk counts)."""
+    from pyppmd_ray.functions.text import chunk_documents, reassemble_chunks
+
+    chunks = chunk_documents(_ds(sf_dir, "documents"), max_tokens=24)
+    return reassemble_chunks(chunks)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -851,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_contamination,  # new query (r5)
         "doc_repetition": _q_repetition,        # new query (r5)
         "doc_chunks": _q_chunk_documents,       # new query (r5)
+        "doc_chunks_reassembled": _q_chunk_reassemble,  # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -891,7 +902,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- untouched, r04-green; keep inside the window while room ---
         "term_doc_freq": _q_term_doc_freq,
         "documents_distinct_text": _q_distinct_text,
-        "token_count": _q_token_count,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "token_count": _q_token_count,
         "doc_fingerprint_sha": _q_doc_sha,
         "events_by_type": _q_events_by_type,
         "lineitem_agg": _q_lineitem_agg,
@@ -1547,6 +1558,16 @@ def oracle_sql() -> dict[str, str]:
             "    AS n_tokens "
             "FROM dt, unnest(generate_series(0, "
             "  (len(toks) + 23) // 24 - 1)) AS t(i)"
+        ),
+        "doc_chunks_reassembled": (
+            # stitching 24-token chunks back with ' ' = the
+            # whitespace-normalized document; n_chunks = ceil(len/24)
+            "WITH dt AS ("
+            "  SELECT doc_id, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> '') "
+            "SELECT doc_id, array_to_string(toks, ' ') AS text, "
+            "  CAST((len(toks) + 23) // 24 AS BIGINT) AS n_chunks FROM dt"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

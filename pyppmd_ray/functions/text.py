@@ -685,6 +685,62 @@ def chunk_documents(ds: rd.Dataset, max_tokens: int = 512) -> rd.Dataset:
     )
 
 
+def reassemble_chunks(
+    ds: rd.Dataset,
+    key: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Inverse of :func:`chunk_documents`: stitch each document's chunks
+    back together in ``order_col`` order — Dataset(doc_id, text,
+    n_chunks). The ordered-reassembly step after chunk-level processing
+    (per-chunk scoring/filtering/inference) when the downstream stage
+    needs whole documents again.
+
+    Shape: one hash-partitioned ``groupby(key)`` (the only shuffle);
+    per-group work is a sort_indices + take + one ``binary_join`` —
+    chunk order is made explicit by ``order_col``, so reassembly is
+    deterministic regardless of block arrival order. Partitioning
+    assumption (same as :func:`~pyppmd_ray.functions.relational.asof_join`):
+    one document's chunks fit in a worker.
+    """
+    from pyppmd_ray.functions.relational import _streaming_map_groups
+
+    sch = ds.schema()
+    if sch is None or key not in sch.names:
+        raise ValueError(
+            f"reassemble_chunks requires a known schema containing {key!r}"
+        )
+    key_type = sch.types[sch.names.index(key)]
+
+    def merge(group: pa.Table):
+        idx = pc.sort_indices(group[order_col])
+        txt = pc.take(
+            pc.fill_null(group[text_col].combine_chunks(), ""), idx
+        )
+        windows = pa.ListArray.from_arrays(
+            pa.array([0, len(txt)], type=pa.int32()), txt
+        )
+        yield pa.table(
+            {
+                key: pa.array([group[key][0].as_py()], type=group[key].type),
+                "text": pc.binary_join(windows, " "),
+                "n_chunks": pa.array([group.num_rows], type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            key: pa.array([], type=key_type),
+            "text": pa.array([], type=pa.string()),
+            "n_chunks": pa.array([], type=pa.int64()),
+        }
+    )
+    return _streaming_map_groups(
+        ds.select_columns([key, order_col, text_col]), [key], merge, empty_table=empty
+    )
+
+
 def contamination(
     ds: rd.Dataset, benchmark: rd.Dataset, n: int = 5
 ) -> rd.Dataset:

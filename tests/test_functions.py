@@ -1485,6 +1485,54 @@ class TestChunkDocuments:
             chunk_documents(rd.from_arrow(docs), max_tokens=0)
 
 
+class TestReassembleChunks:
+    def test_order_restored(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import reassemble_chunks
+
+        # chunks deliberately out of order across docs
+        chunks = pa.table(
+            {
+                "doc_id": pa.array([2, 1, 1, 2, 1], type=pa.int64()),
+                "chunk_id": pa.array([1, 2, 0, 0, 1], type=pa.int64()),
+                "text": ["dog", "c", "a b", "lazy", None],
+            }
+        )
+        out = (
+            reassemble_chunks(rd.from_arrow(chunks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [1, 2]
+        assert out.text.tolist() == ["a b  c", "lazy dog"]  # null -> ""
+        assert out.n_chunks.tolist() == [3, 2]
+
+    def test_roundtrip_with_chunking(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import chunk_documents, reassemble_chunks
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["one two three four five", "just  spaced\ttokens"],
+            }
+        )
+        out = (
+            reassemble_chunks(chunk_documents(rd.from_arrow(docs), max_tokens=2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.text.tolist() == [
+            "one two three four five",
+            "just spaced tokens",
+        ]
+        assert out.n_chunks.tolist() == [3, 2]
+
+
 class TestRepetitionScores:
     def test_crafted_fractions(self):
         import ray.data as rd
