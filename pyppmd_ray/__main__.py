@@ -15,7 +15,7 @@ Commands (each owns its Ray session; `ray job submit` compatible):
   dedup   INPUT DEST [--method exact|minhash] [--threshold T]
           deduplicate a documents-shaped table (exact keeps min-id rows;
           minhash writes the near-dup pair list)
-  analyze INPUT DEST [--ops tokens,lang,quality,simhash,winnow]
+  analyze INPUT DEST [--ops tokens,lang,quality,simhash,winnow,repetition,chunks]
           per-document text-analysis columns → parquet
 """
 
@@ -247,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
                 WinnowFingerprinter,
             )
 
+            from pyppmd_ray.functions.text import chunk_documents, repetition_scores
+
             stages = {
                 "tokens": TokenCounter,
                 "lang": LangId,
@@ -254,13 +256,24 @@ def main(argv: list[str] | None = None) -> int:
                 "simhash": SimHasher,
                 "winnow": WinnowFingerprinter,
             }
+            # dataset-level ops (not per-batch actor classes)
+            ds_ops = {
+                "repetition": repetition_scores,
+                "chunks": lambda d: chunk_documents(d, max_tokens=512),
+            }
             ds = rd.read_parquet(args.input)
             counts = {}
             for op in args.ops.split(","):
                 op = op.strip()
-                if op not in stages:
-                    raise SystemExit(f"unknown op {op!r}; choose from {sorted(stages)}")
-                out_ds = ds.map_batches(stages[op](), batch_format="pyarrow").materialize()
+                if op not in stages and op not in ds_ops:
+                    raise SystemExit(
+                        f"unknown op {op!r}; choose from "
+                        f"{sorted(stages) + sorted(ds_ops)}"
+                    )
+                if op in ds_ops:
+                    out_ds = ds_ops[op](ds).materialize()
+                else:
+                    out_ds = ds.map_batches(stages[op](), batch_format="pyarrow").materialize()
                 dest = os.path.join(args.dest, op)
                 out_ds.write_parquet(dest)
                 counts[op] = out_ds.count()
