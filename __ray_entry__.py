@@ -332,6 +332,15 @@ def _q_chunk_reassemble(sf_dir: str):
     return reassemble_chunks(chunks)
 
 
+def _q_token_budget_mix(sf_dir: str):
+    """Corpus mixing to per-language token quotas (budget=2000): keep
+    docs in deterministic sha256 order until each lang's running token
+    total reaches the budget — grouped distributed prefix sum."""
+    from pyppmd_ray.functions.sequence import token_budget_sample
+
+    return token_budget_sample(_ds(sf_dir, "documents"), budget=2000)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -862,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_repetition,        # new query (r5)
         "doc_chunks": _q_chunk_documents,       # new query (r5)
         "doc_chunks_reassembled": _q_chunk_reassemble,  # new query (r5)
+        "doc_token_budget_mix": _q_token_budget_mix,    # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -906,13 +916,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
-        "embedding_quantize": _q_embedding_quantize,
         "pack_sequences": _q_pack_sequences,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "embedding_quantize": _q_embedding_quantize,
         "token_count": _q_token_count,
         "doc_fingerprint_sha": _q_doc_sha,
         "events_by_type": _q_events_by_type,
@@ -1568,6 +1578,22 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents WHERE trim(text, ' \t\n\r') <> '') "
             "SELECT doc_id, array_to_string(toks, ' ') AS text, "
             "  CAST((len(toks) + 23) // 24 AS BIGINT) AS n_chunks FROM dt"
+        ),
+        "doc_token_budget_mix": (
+            "WITH t AS ("
+            "  SELECT doc_id, lang, "
+            "    CASE WHEN trim(text, ' \t\n\r') = '' THEN 0 "
+            "    ELSE len(regexp_split_to_array("
+            "      trim(text, ' \t\n\r'), '[ \t\n\r]+')) END AS n_tokens, "
+            "    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS h "
+            "  FROM documents), "
+            "o AS ("
+            "  SELECT doc_id, lang, n_tokens, "
+            "    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id "
+            "      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tokens_before "
+            "  FROM t) "
+            "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  tokens_before FROM o WHERE tokens_before < 2000"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

@@ -1485,6 +1485,65 @@ class TestChunkDocuments:
             chunk_documents(rd.from_arrow(docs), max_tokens=0)
 
 
+class TestTokenBudgetSample:
+    def test_greedy_fill_matches_bruteforce(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sequence import token_budget_sample
+
+        rng = np.random.default_rng(3)
+        n = 200
+        langs = [["en", "de", "fr"][i % 3] for i in range(n)]
+        texts = [" ".join("w" + str(j) for j in range(rng.integers(1, 30))) for _ in range(n)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "lang": langs,
+                "text": texts,
+            }
+        )
+        budget = 150
+        out = (
+            token_budget_sample(
+                rd.from_arrow(tbl).repartition(6), budget=budget
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        # brute-force reference: per-lang sha256(doc_id) order, greedy fill
+        def h(i):
+            return int.from_bytes(hashlib.sha256(str(i).encode()).digest()[:8], "big")
+
+        expect = []
+        for lang in sorted(set(langs)):
+            docs = sorted(
+                (i for i in range(n) if langs[i] == lang), key=lambda i: (h(i), i)
+            )
+            cum = 0
+            for i in docs:
+                nt = len(texts[i].split())
+                if cum < budget:
+                    expect.append((i, lang, nt, cum))
+                cum += nt
+        expect.sort()
+        assert list(map(tuple, out.itertuples(index=False))) == expect
+
+    def test_budget_validation(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sequence import token_budget_sample
+
+        tbl = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()), "lang": ["en"], "text": ["x"]}
+        )
+        with pytest.raises(ValueError):
+            token_budget_sample(rd.from_arrow(tbl), budget=0)
+
+
 class TestReassembleChunks:
     def test_order_restored(self):
         import ray.data as rd
