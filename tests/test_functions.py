@@ -1486,6 +1486,26 @@ class TestChunkDocuments:
 
 
 class TestTokenBudgetSample:
+    def test_empty_dataset(self):
+        # an empty Dataset yields ZERO batches from iter_batches — the
+        # prefix-sum partials collect must not assume one empty batch
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sequence import pack_sequences, token_budget_sample
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+        assert token_budget_sample(empty, budget=10).count() == 0
+        assert pack_sequences(empty, budget=10).count() == 0
+
+
     def test_greedy_fill_matches_bruteforce(self):
         import hashlib
 
