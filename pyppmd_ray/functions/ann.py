@@ -46,7 +46,18 @@ def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray]], k: int) -> tuple[np.
 def _rank_table(cand: rd.Dataset, nq: int, k: int) -> pa.Table:
     """Driver-side merge of per-batch candidates → (q, rank, vec_id).
     The candidate set is k×num_blocks rows — tiny by construction."""
-    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    from pyppmd_ray.functions.collect import collect_table
+
+    tbl = collect_table(
+        cand,
+        empty=pa.table(
+            {
+                "q": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        ),
+    )
     out_q, out_rank, out_id = [], [], []
     qcol = int64_column(tbl["q"])
     icol = int64_column(tbl["vec_id"])
@@ -178,8 +189,12 @@ def _seed_centroid_table(ds: rd.Dataset, n_centroids: int) -> pa.Table:
         part = np.argpartition(ids, kk - 1)[:kk] if kk < ids.size else np.arange(ids.size)
         return batch.take(pa.array(part))
 
+    from pyppmd_ray.functions.collect import collect_table
+
     cand = ds.map_batches(local_bottomk, batch_format="pyarrow")
-    tbl = pa.concat_tables(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tbl = collect_table(cand)
+    if tbl.num_rows == 0:
+        raise ValueError("cannot seed centroids from an empty dataset")
     ids = int64_column(tbl["vec_id"])
     order = np.argsort(ids, kind="stable")[:n_centroids]
     return tbl.take(pa.array(order))
@@ -225,8 +240,10 @@ def train_centroids(
     cents = _normalize_rows(embedding_matrix(seed_tbl["embedding"]))
     for _ in range(n_iters):
         ref = ray.put(cents)
+        from pyppmd_ray.functions.collect import collect_table
+
         parts = ds.map_batches(_KmeansPartial(ref), batch_format="pyarrow")
-        tbl = pa.concat_tables(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+        tbl = collect_table(parts)
         cids = int64_column(tbl["cid"])
         counts = int64_column(tbl["count"])
         sums = embedding_matrix(tbl["vec_sum"])

@@ -79,10 +79,10 @@ def topk(
         order = sort_cols(batch)[:k]
         return batch.take(pa.array(order))
 
+    from pyppmd_ray.functions.collect import collect_table
+
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        cand.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    tbl = collect_table(cand)
     if tbl.num_rows == 0:
         return tbl
     order = sort_cols(tbl)[:k]

@@ -60,9 +60,11 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> pa.Table:
         h = np.unique(sha256_prefix_u64(batch[col]))[:k]
         return pa.table({"h": pa.array(h.astype(np.int64), type=pa.int64())})
 
+    from pyppmd_ray.functions.collect import collect_table
+
     parts = ds.map_batches(local_kmins, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    merged = collect_table(
+        parts, empty=pa.table({"h": pa.array([], type=pa.int64())})
     )
     h = np.unique(
         merged["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -112,15 +114,24 @@ def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
             }
         )
 
-    parts = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
+    from pyppmd_ray.functions.collect import collect_table
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        empty=pa.table(
+            {
+                "column": pa.array([], type=pa.string()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "n_nulls": pa.array([], type=pa.int64()),
+                "vmin": pa.array([], type=pa.float64()),
+                "vmax": pa.array([], type=pa.float64()),
+            }
+        ),
     )
     out = {"column": [], "n_rows": [], "n_nulls": [], "vmin": [], "vmax": []}
     df_cols = parts["column"].to_pylist()
     for c in columns:
-        mask = np.array([x == c for x in df_cols])
+        mask = np.array([x == c for x in df_cols], dtype=bool)
         out["column"].append(c)
         out["n_rows"].append(int(np.asarray(parts["n_rows"])[mask].sum()))
         out["n_nulls"].append(int(np.asarray(parts["n_nulls"])[mask].sum()))
@@ -184,8 +195,16 @@ def quantiles(
     n_distinct = counts.count()
     if n_distinct > distinct_budget:
         return _binned_quantiles(counts, col, qs, bins)
-    tbl = pa.concat_tables(
-        counts.iter_batches(batch_size=None, batch_format="pyarrow")
+    from pyppmd_ray.functions.collect import collect_table
+
+    tbl = collect_table(
+        counts,
+        empty=pa.table(
+            {
+                col: pa.array([], type=pa.float64()),
+                "count()": pa.array([], type=pa.int64()),
+            }
+        ),
     )
     v = tbl[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
     c = tbl["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)

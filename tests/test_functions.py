@@ -1388,6 +1388,48 @@ class TestHeavyHitters:
             heavy_hitters(rd.from_arrow(self._corpus()), phi=0.0)
 
 
+class TestEmptyInputCollects:
+    def test_driver_merge_operators_on_empty_dataset(self):
+        # empty Datasets yield ZERO batches from iter_batches; every
+        # driver-merge operator must tolerate that, not ArrowInvalid
+        import ray.data as rd
+
+        from pyppmd_ray.functions.ann import brute_force_topk, train_centroids
+        from pyppmd_ray.functions.sample import topk
+        from pyppmd_ray.functions.stats import (
+            kmv_distinct,
+            profile_numeric,
+            quantiles,
+        )
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "v": pa.array([], type=pa.float64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+        assert topk(empty, "v", 3).num_rows == 0
+        assert kmv_distinct(empty, "text", k=8).num_rows == 1
+        assert quantiles(empty, "v", [0.5]).num_rows == 0
+        prof = profile_numeric(empty, ["v"])
+        assert prof.num_rows == 1 and prof["n_rows"][0].as_py() == 0
+        emb = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32())),
+                }
+            )
+        )
+        assert brute_force_topk(
+            emb, np.eye(2, 4, dtype=np.float32), k=2
+        ).num_rows == 0
+        with pytest.raises(ValueError):
+            train_centroids(emb, n_centroids=2, n_iters=1)
+
+
 class TestContamination:
     def test_flags_and_counts(self):
         import ray.data as rd
