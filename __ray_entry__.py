@@ -341,6 +341,14 @@ def _q_token_budget_mix(sf_dir: str):
     return token_budget_sample(_ds(sf_dir, "documents"), budget=2000)
 
 
+def _q_ngram_counts(sf_dir: str):
+    """Corpus word-2-gram statistics (gram, df, tf): per-batch distinct
+    partials before the shuffle, one groupby(gram)."""
+    from pyppmd_ray.functions.text import ngram_counts
+
+    return ngram_counts(_ds(sf_dir, "documents"), n=2)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_chunk_documents,       # new query (r5)
         "doc_chunks_reassembled": _q_chunk_reassemble,  # new query (r5)
         "doc_token_budget_mix": _q_token_budget_mix,    # new query (r5)
+        "doc_ngram_counts": _q_ngram_counts,            # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -914,7 +923,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_distinct_text": _q_distinct_text,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "pack_sequences": _q_pack_sequences,
         "documents_stratified_sample": _q_documents_stratified,
@@ -922,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "ann_lsh_topk": _q_lsh_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count": _q_token_count,
         "doc_fingerprint_sha": _q_doc_sha,
@@ -1594,6 +1603,18 @@ def oracle_sql() -> dict[str, str]:
             "  FROM t) "
             "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
             "  tokens_before FROM o WHERE tokens_before < 2000"
+        ),
+        "doc_ngram_counts": (
+            "WITH dt AS ("
+            "  SELECT doc_id, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "dg AS ("
+            "  SELECT doc_id, array_to_string(toks[t.i : t.i + 1], ' ') AS gram "
+            "  FROM dt, unnest(generate_series(1, "
+            "    greatest(len(toks) - 1, 0))) AS t(i)) "
+            "SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS tf "
+            "FROM dg GROUP BY gram"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

@@ -619,6 +619,57 @@ def repetition_scores(ds: rd.Dataset) -> rd.Dataset:
     )
 
 
+def ngram_counts(ds: rd.Dataset, n: int = 2) -> rd.Dataset:
+    """Corpus word n-gram statistics → Dataset(gram, df, tf): document
+    frequency and total occurrence count per distinct n-gram — the
+    n-gram generalization of :func:`term_doc_freq` (LM count tables,
+    collocation mining, contamination-threshold calibration).
+
+    Same pre-aggregate discipline: each batch reduces its windows to
+    distinct (gram, df, tf) partials BEFORE the shuffle (windows from
+    the shifted-slice ``binary_join_element_wise`` kernel, counts from
+    one packed-pair ``np.unique``), then one ``groupby(gram).sum`` —
+    all-to-all volume is per-batch-distinct grams, never the window
+    stream."""
+    from ray.data.aggregate import Sum
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    empty = pa.table(
+        {
+            "gram": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        grams, widx = _word_ngrams(batch["text"], n)
+        if len(grams) == 0:
+            return empty
+        d = grams.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(d.dictionary)
+        tf = np.bincount(codes, minlength=V)
+        n_rows = int(widx.max()) + 1
+        pair_codes = np.unique(codes * np.int64(n_rows) + widx) // np.int64(n_rows)
+        df = np.bincount(pair_codes, minlength=V)
+        return pa.table(
+            {
+                "gram": d.dictionary.cast(pa.string()),
+                "df": pa.array(df, type=pa.int64()),
+                "tf": pa.array(tf, type=pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    return parts.groupby("gram").aggregate(
+        Sum("df", alias_name="df"), Sum("tf", alias_name="tf")
+    )
+
+
 def chunk_documents(ds: rd.Dataset, max_tokens: int = 512) -> rd.Dataset:
     """Split every document into consecutive chunks of at most
     ``max_tokens`` whitespace tokens — Dataset(doc_id, chunk_id, text,

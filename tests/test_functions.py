@@ -1315,6 +1315,38 @@ class TestGroupedTopkTermFreq:
         assert out.tf.tolist() == [2, 2, 1]
 
 
+class TestNgramCounts:
+    def test_bigram_df_tf(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import ngram_counts
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["a b a b", "a b", "  "],
+            }
+        )
+        out = (
+            ngram_counts(rd.from_arrow(t), n=2)
+            .to_pandas()
+            .sort_values("gram")
+            .reset_index(drop=True)
+        )
+        assert out.gram.tolist() == ["a b", "b a"]
+        assert out.df.tolist() == [2, 1]
+        assert out.tf.tolist() == [3, 1]
+
+    def test_n_validation(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.text import ngram_counts
+
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["x"]})
+        with pytest.raises(ValueError):
+            ngram_counts(rd.from_arrow(t), n=0)
+
+
 class TestHeavyHitters:
     def _corpus(self):
         # 4000 singleton terms (the long tail a full groupby would
