@@ -26,12 +26,17 @@ from pyppmd_ray.fixtures import source_table_path
 from pyppmd_ray.pipelines import decode_dataset, encode_dataset
 
 N_ROWS = 8000  # ≈22 MB — big enough to amortize pipeline latency at 4 cpus
-REPS = 2
+REPS = 3
 
-# MB/s floors (≈4× headroom below measured 4-cpu rates)
-FLOOR_ENCODE = 7.0
-FLOOR_FAST = 18.0
-FLOOR_DECODE = 12.0
+# MB/s floors. Sized to catch a kernel falling off its vectorized path
+# (10×+, e.g. a per-row Python loop sneaking into encode) while NEVER
+# tripping on sandbox noise: standalone this module measures
+# ~30/75/50 MB/s, but inside the full 380-test suite co-tenant load has
+# been observed to push the flagship as low as 6 MB/s (r5, twice) —
+# a 5× swing that the old 4×-headroom floors (7/18/12) false-failed on.
+FLOOR_ENCODE = 4.0
+FLOOR_FAST = 10.0
+FLOOR_DECODE = 7.0
 
 
 def _best_rate(fn, bytes_in: int, reps: int = REPS) -> float:
