@@ -349,6 +349,25 @@ def _q_ngram_counts(sf_dir: str):
     return ngram_counts(_ds(sf_dir, "documents"), n=2)
 
 
+def _q_training_corpus(sf_dir: str):
+    """Full pre-tokenization chain: decontaminate + repetition-gate in
+    one map-side pass → exact dedup → 64-token chunking → 256-token
+    packing. Whole pipeline = 1 groupby(sha) + 1 sort."""
+    from pyppmd_ray.functions.pipeline import prepare_training_corpus
+
+    docs = _ds(sf_dir, "documents")
+
+    def bench_slice(b):
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return prepare_training_corpus(
+        docs, bench, contam_ngram=5, max_dup_token_frac=0.6,
+        chunk_tokens=64, pack_budget=256,
+    )
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -881,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks_reassembled": _q_chunk_reassemble,  # new query (r5)
         "doc_token_budget_mix": _q_token_budget_mix,    # new query (r5)
         "doc_ngram_counts": _q_ngram_counts,            # new query (r5)
+        "prepare_training_corpus": _q_training_corpus,  # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -923,13 +943,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_distinct_text": _q_distinct_text,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ivf_ann,
         "pack_sequences": _q_pack_sequences,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "ann_ivf_topk": _q_ivf_ann,
         "ann_lsh_topk": _q_lsh_ann,
         "embedding_quantize": _q_embedding_quantize,
         "token_count": _q_token_count,
@@ -1615,6 +1635,46 @@ def oracle_sql() -> dict[str, str]:
             "    greatest(len(toks) - 1, 0))) AS t(i)) "
             "SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS tf "
             "FROM dg GROUP BY gram"
+        ),
+        "prepare_training_corpus": (
+            # gates (5-gram contamination vs bench slice, dup-token-frac
+            # <= 0.6) -> min-id dedup per distinct text -> 64-token
+            # chunks -> 256-token packs over chunk uid order
+            "WITH dt AS ("
+            "  SELECT doc_id, text, regexp_split_to_array("
+            "    trim(text, ' \t\n\r'), '[ \t\n\r]+') AS toks "
+            "  FROM documents WHERE trim(text, ' \t\n\r') <> ''), "
+            "dg AS ("
+            "  SELECT doc_id, array_to_string(toks[t.i : t.i + 4], ' ') AS gram "
+            "  FROM dt, unnest(generate_series(1, "
+            "    greatest(len(toks) - 4, 0))) AS t(i)), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0), "
+            "contam AS (SELECT DISTINCT dg.doc_id FROM dg "
+            "           JOIN bg ON dg.gram = bg.gram), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term FROM dt), "
+            "ts AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS d "
+            "       FROM tok GROUP BY doc_id), "
+            "rep AS (SELECT doc_id FROM ts "
+            "        WHERE 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) > 0.6), "
+            "gated AS ("
+            "  SELECT doc_id, text, toks FROM dt "
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM contam) "
+            "    AND doc_id NOT IN (SELECT doc_id FROM rep)), "
+            "kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text), "
+            "k2 AS (SELECT g.doc_id, g.toks FROM gated g "
+            "       JOIN kept k ON g.doc_id = k.doc_id), "
+            "chunks AS ("
+            "  SELECT doc_id, t.i AS chunk_id, "
+            "    CAST(least((t.i + 1) * 64, len(toks)) - t.i * 64 AS BIGINT) "
+            "      AS n_tokens "
+            "  FROM k2, unnest(generate_series(0, "
+            "    (len(toks) + 63) // 64 - 1)) AS t(i)) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tokens, "
+            "  CAST((SUM(n_tokens) OVER ("
+            "    ORDER BY doc_id * 1000000 + chunk_id "
+            "    ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) "
+            "    AS pack_id "
+            "FROM chunks"
         ),
         "doc_rare_terms": (
             "WITH toks AS ("

@@ -8,6 +8,7 @@ into a single streaming Dataset (no driver materialization anywhere).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -99,3 +100,99 @@ def prepare_corpus_neardup(
         )
 
     return kept.map_batches(gate, batch_format="pyarrow")
+
+
+def prepare_training_corpus(
+    ds: rd.Dataset,
+    benchmark: rd.Dataset,
+    *,
+    contam_ngram: int = 5,
+    max_dup_token_frac: float = 0.6,
+    chunk_tokens: int = 64,
+    pack_budget: int = 256,
+    uid_stride: int = 1_000_000,
+) -> rd.Dataset:
+    """The full pre-tokenization chain, end to end: decontaminate +
+    repetition-gate (ONE map-side pass) → exact dedup → token-budget
+    chunking → sequence packing → (doc_id, chunk_id, n_tokens, pack_id).
+
+    Shuffle budget for the whole pipeline: ONE ``groupby(sha)`` (dedup)
+    + ONE range-shuffle sort (packing). Everything else is map-side:
+    the benchmark n-gram set broadcasts once (eval suites are MBs), and
+    contamination + repetition are computed together per batch so the
+    corpus is tokenized once for both gates.
+
+    ``uid_stride`` must exceed the max chunks per document
+    (ceil(longest_doc_tokens / chunk_tokens)); chunk uid =
+    doc_id·stride + chunk_id must also fit int64.
+    """
+    import ray
+
+    from .broadcast import LazyBroadcast
+    from .dedup import dedup_exact
+    from .sequence import pack_sequences
+    from .text import _dup_stats, _word_ngrams, chunk_documents
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(batch["text"], contam_ngram)
+        return pa.table({"gram": pc.unique(g)})
+
+    parts = list(
+        benchmark.select_columns(["text"])
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    gram_set = (
+        pc.unique(pa.concat_tables(parts)["gram"].combine_chunks())
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    bcast = LazyBroadcast(ray.put(gram_set))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        contaminated = np.zeros(n_rows, dtype=bool)
+        grams, widx = _word_ngrams(batch["text"], contam_ngram)
+        if len(grams) and len(bcast.state):
+            hit = np.asarray(pc.is_in(grams, value_set=bcast.state), dtype=bool)
+            contaminated[np.unique(widx[hit])] = True
+        toks, tok_row = _word_ngrams(batch["text"], 1)
+        total, distinct, _ = _dup_stats(toks, tok_row, n_rows)
+        dup_frac = np.zeros(n_rows, dtype=np.float64)
+        nz = total > 0
+        dup_frac[nz] = 1.0 - distinct[nz].astype(np.float64) / total[nz].astype(
+            np.float64
+        )
+        keep = ~contaminated & (dup_frac <= max_dup_token_frac)
+        return batch.select(["doc_id", "text"]).filter(pa.array(keep))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow")
+    deduped = dedup_exact(gated)
+    chunks = chunk_documents(deduped, max_tokens=chunk_tokens)
+
+    def add_uid(batch: pa.Table) -> pa.Table:
+        uid = pc.add(
+            pc.multiply(batch["doc_id"], pa.scalar(uid_stride, type=pa.int64())),
+            batch["chunk_id"],
+        )
+        return batch.append_column("chunk_uid", uid)
+
+    packed = pack_sequences(
+        chunks.map_batches(add_uid, batch_format="pyarrow"),
+        id_col="chunk_uid",
+        text_col="text",
+        budget=pack_budget,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        uid = batch["chunk_uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(uid // uid_stride, type=pa.int64()),
+                "chunk_id": pa.array(uid % uid_stride, type=pa.int64()),
+                "n_tokens": batch["n_tokens"],
+                "pack_id": batch["pack_id"],
+            }
+        )
+
+    return packed.map_batches(finish, batch_format="pyarrow")

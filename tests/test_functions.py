@@ -1462,6 +1462,45 @@ class TestEmptyInputCollects:
             train_centroids(emb, n_centroids=2, n_iters=1)
 
 
+class TestPrepareTrainingCorpus:
+    def test_all_stages_compose(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.pipeline import prepare_training_corpus
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    "one two three four five six seven",  # kept: 7 toks -> chunks 3+3+1
+                    "one two three four five six seven",  # exact dup of 1 -> dropped
+                    "spam spam spam spam spam",           # dup_frac 0.8 -> dropped
+                    "eval set secret answer here",        # contaminated -> dropped
+                    "clean short doc",                    # kept: 1 chunk of 3
+                ],
+            }
+        )
+        bench = pa.table({"text": ["the eval set secret answer here today"]})
+        out = (
+            prepare_training_corpus(
+                rd.from_arrow(docs),
+                rd.from_arrow(bench),
+                contam_ngram=5,
+                max_dup_token_frac=0.6,
+                chunk_tokens=3,
+                pack_budget=4,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [1, 1, 1, 5]
+        assert out.chunk_id.tolist() == [0, 1, 2, 0]
+        assert out.n_tokens.tolist() == [3, 3, 1, 3]
+        # packs over uid order: before = 0,3,6,7 -> //4 = 0,0,1,1
+        assert out.pack_id.tolist() == [0, 0, 1, 1]
+
+
 class TestContamination:
     def test_flags_and_counts(self):
         import ray.data as rd
