@@ -906,7 +906,10 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
         d = flat.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         tf = np.bincount(codes, minlength=len(d.dictionary))
-        keep = np.flatnonzero(tf >= phi * n)
+        # slack of 1 absorbs float rounding of phi*n at exact-boundary
+        # ties — the superset guarantee must not hinge on an ulp; the
+        # candidate bound merely relaxes from 1/phi to ~1/phi per batch
+        keep = np.flatnonzero(tf >= phi * n - 1.0)
         if keep.size == 0:
             return sentinel
         return pa.concat_tables(
