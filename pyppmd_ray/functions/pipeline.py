@@ -126,38 +126,29 @@ def prepare_training_corpus(
     (ceil(longest_doc_tokens / chunk_tokens)); chunk uid =
     doc_id·stride + chunk_id must also fit int64.
     """
-    import ray
-
-    from .broadcast import LazyBroadcast
     from .dedup import dedup_exact
     from .sequence import pack_sequences
-    from .text import _dup_stats, _word_ngrams, chunk_documents
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        g, _ = _word_ngrams(batch["text"], contam_ngram)
-        return pa.table({"gram": pc.unique(g)})
-
-    parts = list(
-        benchmark.select_columns(["text"])
-        .map_batches(bench_grams, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+    from .text import (
+        _dup_stats,
+        _flat_tokens,
+        _ngrams_from_tokens,
+        benchmark_gram_broadcast,
+        chunk_documents,
     )
-    gram_set = (
-        pc.unique(pa.concat_tables(parts)["gram"].combine_chunks())
-        if parts
-        else pa.array([], type=pa.string())
-    )
-    bcast = LazyBroadcast(ray.put(gram_set))
+
+    bcast = benchmark_gram_broadcast(benchmark, contam_ngram)
 
     def gate(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
         contaminated = np.zeros(n_rows, dtype=bool)
-        grams, widx = _word_ngrams(batch["text"], contam_ngram)
+        # tokenize ONCE; contamination windows and repetition stats both
+        # derive from the same flat token array
+        flat, row_idx = _flat_tokens(batch["text"])
+        grams, widx = _ngrams_from_tokens(flat, row_idx, contam_ngram)
         if len(grams) and len(bcast.state):
             hit = np.asarray(pc.is_in(grams, value_set=bcast.state), dtype=bool)
             contaminated[np.unique(widx[hit])] = True
-        toks, tok_row = _word_ngrams(batch["text"], 1)
-        total, distinct, _ = _dup_stats(toks, tok_row, n_rows)
+        total, distinct, _ = _dup_stats(flat, row_idx, n_rows)
         dup_frac = np.zeros(n_rows, dtype=np.float64)
         nz = total > 0
         dup_frac[nz] = 1.0 - distinct[nz].astype(np.float64) / total[nz].astype(
@@ -171,8 +162,19 @@ def prepare_training_corpus(
     chunks = chunk_documents(deduped, max_tokens=chunk_tokens)
 
     def add_uid(batch: pa.Table) -> pa.Table:
-        uid = pc.add(
-            pc.multiply(batch["doc_id"], pa.scalar(uid_stride, type=pa.int64())),
+        if batch.num_rows:
+            max_chunk = pc.max(batch["chunk_id"]).as_py()
+            if max_chunk >= uid_stride:
+                raise ValueError(
+                    f"chunk_id {max_chunk} >= uid_stride {uid_stride}; raise "
+                    f"uid_stride above max chunks per document"
+                )
+        # checked kernels: doc_id*stride near int64 max must error loudly,
+        # not wrap into another document's uid range
+        uid = pc.add_checked(
+            pc.multiply_checked(
+                batch["doc_id"], pa.scalar(uid_stride, type=pa.int64())
+            ),
             batch["chunk_id"],
         )
         return batch.append_column("chunk_uid", uid)

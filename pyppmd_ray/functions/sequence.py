@@ -69,22 +69,17 @@ def pack_sequences(
             }
         )
 
+    from pyppmd_ray.functions.collect import collect_table
+
     # batch_size=None in BOTH passes: one batch per block of the same
     # materialized dataset → identical boundaries, so pass 2's lookup by
     # batch min_id cannot miss (a mismatch raises KeyError loudly)
-    part_batches = list(
-        ordered.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    parts = (
-        pa.concat_tables(part_batches)
-        if part_batches
-        # an empty input yields ZERO batches, not one empty batch
-        else pa.table(
+    parts = collect_table(
+        ordered.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        empty=pa.table(
             {"min_id": pa.array([], type=pa.int64()),
              "tok_sum": pa.array([], type=pa.int64())}
-        )
+        ),
     )
     mins = parts["min_id"].combine_chunks().to_numpy(zero_copy_only=False)
     sums = parts["tok_sum"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -206,13 +201,12 @@ def token_budget_sample(
             }
         )
 
-    part_batches = list(
-        ordered.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    from pyppmd_ray.functions.collect import collect_table
+
+    parts = collect_table(
+        ordered.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        empty=empty_partial,
     )
-    # an empty input yields ZERO batches, not one empty batch
-    parts = pa.concat_tables(part_batches) if part_batches else empty_partial
     # driver scan: order blocks by their min composite key, accumulate
     # per-group exclusive offsets across blocks
     order = pc.sort_indices(

@@ -416,15 +416,11 @@ def doc_rare_terms(ds, max_df: int = 10, k: int = 3, *, max_df_frac: float | Non
     # the Zipf head is small by construction (df > max_df ⇒ at most
     # total_tokens/max_df distinct terms) — safe to assemble and
     # broadcast once; everything per-document stays map-side
-    head_batches = list(
-        common.select_columns(["term"]).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    head = (
-        pa.concat_tables(head_batches)
-        if head_batches
-        else pa.table({"term": pa.array([], type=pa.string())})
+    from pyppmd_ray.functions.collect import collect_table
+
+    head = collect_table(
+        common.select_columns(["term"]),
+        empty=pa.table({"term": pa.array([], type=pa.string())}),
     )
     bcast = LazyBroadcast(ray.put(head["term"].combine_chunks()))
 
@@ -496,30 +492,12 @@ def doc_rare_terms(ds, max_df: int = 10, k: int = 3, *, max_df_frac: float | Non
     )
 
 
-def _hh_tokenize(batch: pa.Table):
-    """Shared tokenizer for the heavy-hitter passes: THE engine token
-    definition (trim + split on whitespace), returning the flat token
-    array for the batch (possibly empty)."""
-    txt = pc.fill_null(batch["text"], "")
-    trimmed = pc.utf8_trim(txt, characters=TOKEN_STRIP_CHARS)
-    trimmed = trimmed.filter(pc.not_equal(trimmed, ""))
-    if len(trimmed) == 0:
-        return pa.array([], type=pa.string())
-    lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    return pc.list_flatten(lists)
-
-
-def _word_ngrams(texts, n: int):
-    """Vectorized word n-gram extraction over a column of texts.
-
-    Returns ``(grams, row_idx)``: the flat n-gram strings ("w1 w2 ... wn",
-    engine tokenization) and the LOCAL row index each gram belongs to —
-    built from n shifted zero-copy slices of the flat token array joined
-    by one Arrow ``binary_join_element_wise`` kernel call, with windows
-    that would cross a row boundary masked out. No per-row Python loop.
-    """
+def _flat_tokens(texts):
+    """Tokenize a text column ONCE: trim + whitespace split (THE engine
+    token definition), returning ``(flat, row_idx)`` — the flat token
+    array and each token's LOCAL row index. All-whitespace rows
+    contribute no tokens. The n-gram views of a batch derive from this
+    single pass via :func:`_ngrams_from_tokens`."""
     trimmed = pc.utf8_trim(pc.fill_null(texts, ""), characters=TOKEN_STRIP_CHARS)
     lists = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
     if isinstance(lists, pa.ChunkedArray):
@@ -534,6 +512,15 @@ def _word_ngrams(texts, n: int):
     if not keep_tok.all():
         flat = flat.filter(pa.array(keep_tok))
         row_idx = row_idx[keep_tok]
+    return flat, row_idx
+
+
+def _ngrams_from_tokens(flat, row_idx: np.ndarray, n: int):
+    """Word n-gram windows over an already-tokenized batch: n shifted
+    zero-copy slices of the flat token array joined by one Arrow
+    ``binary_join_element_wise`` kernel call, with windows that would
+    cross a row boundary masked out. Returns ``(grams, window_row_idx)``.
+    No per-row Python loop."""
     m = len(flat)
     if m < n:
         return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
@@ -546,22 +533,29 @@ def _word_ngrams(texts, n: int):
     return grams, row_idx[:w][valid]
 
 
+def _word_ngrams(texts, n: int):
+    """Vectorized word n-gram extraction over a column of texts —
+    :func:`_flat_tokens` + :func:`_ngrams_from_tokens` in one call for
+    operators that need a single n."""
+    flat, row_idx = _flat_tokens(texts)
+    return _ngrams_from_tokens(flat, row_idx, n)
+
+
 def _dup_stats(keys: pa.Array, row_idx: np.ndarray, n_rows: int):
     """Per-row (total, distinct, max_count) over a flat key stream —
     one dictionary_encode + one np.unique over packed (row, code) pairs;
     no per-row loop. Rows with no keys get zeros."""
-    total = np.zeros(n_rows, dtype=np.int64)
-    distinct = np.zeros(n_rows, dtype=np.int64)
-    mx = np.zeros(n_rows, dtype=np.int64)
     if len(keys) == 0:
-        return total, distinct, mx
+        z = np.zeros(n_rows, dtype=np.int64)
+        return z, z.copy(), z.copy()
     d = keys.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     V = max(len(d.dictionary), 1)
-    np.add.at(total, row_idx, 1)
+    total = np.bincount(row_idx, minlength=n_rows)
     pair, cnt = np.unique(row_idx * np.int64(V) + codes, return_counts=True)
     pdoc = pair // np.int64(V)  # sorted ascending -> grouped by row
-    np.add.at(distinct, pdoc, 1)
+    distinct = np.bincount(pdoc, minlength=n_rows)
+    mx = np.zeros(n_rows, dtype=np.int64)
     starts = np.flatnonzero(np.r_[True, pdoc[1:] != pdoc[:-1]])
     mx[pdoc[starts]] = np.maximum.reduceat(cnt, starts)
     return total, distinct, mx
@@ -582,12 +576,13 @@ def repetition_scores(ds: rd.Dataset) -> rd.Dataset:
 
     def scores(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
-        texts = batch["text"]
-        toks, tok_row = _word_ngrams(texts, 1)
-        t_total, t_distinct, t_mx = _dup_stats(toks, tok_row, n_rows)
-        g2, g2_row = _word_ngrams(texts, 2)
+        # tokenize ONCE; the 1/2/5-gram views all derive from the same
+        # flat token array (the regex split is the dominant kernel here)
+        flat, row_idx = _flat_tokens(batch["text"])
+        t_total, t_distinct, t_mx = _dup_stats(flat, row_idx, n_rows)
+        g2, g2_row = _ngrams_from_tokens(flat, row_idx, 2)
         g2_total, g2_distinct, _ = _dup_stats(g2, g2_row, n_rows)
-        g5, g5_row = _word_ngrams(texts, 5)
+        g5, g5_row = _ngrams_from_tokens(flat, row_idx, 5)
         g5_total, g5_distinct, _ = _dup_stats(g5, g5_row, n_rows)
 
         def dup_frac(total, distinct):
@@ -792,6 +787,31 @@ def reassemble_chunks(
     )
 
 
+def benchmark_gram_broadcast(benchmark: rd.Dataset, n: int):
+    """Reduce a benchmark corpus to its distinct word n-gram set
+    (per-batch ``unique`` partials → one driver collect → one
+    ``ray.put``) and return a :class:`LazyBroadcast` over it — the
+    shared setup for :func:`contamination` and the composed
+    curation pipeline's decontamination gate."""
+    import ray
+
+    from pyppmd_ray.functions.broadcast import LazyBroadcast
+    from pyppmd_ray.functions.collect import collect_table
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(batch["text"], n)
+        return pa.table({"gram": pc.unique(g)})
+
+    tbl = collect_table(
+        benchmark.select_columns(["text"]).map_batches(
+            bench_grams, batch_format="pyarrow"
+        ),
+        empty=pa.table({"gram": pa.array([], type=pa.string())}),
+    )
+    gram_set = pc.unique(tbl["gram"].combine_chunks())
+    return LazyBroadcast(ray.put(gram_set))
+
+
 def contamination(
     ds: rd.Dataset, benchmark: rd.Dataset, n: int = 5
 ) -> rd.Dataset:
@@ -809,28 +829,9 @@ def contamination(
     membership kernel + a per-doc bincount). No groupby anywhere — a
     document's count completes inside its own batch.
     """
-    import ray
-
-    from pyppmd_ray.functions.broadcast import LazyBroadcast
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        g, _ = _word_ngrams(batch["text"], n)
-        return pa.table({"gram": pc.unique(g)})
-
-    parts = list(
-        benchmark.select_columns(["text"])
-        .map_batches(bench_grams, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    gram_set = (
-        pc.unique(pa.concat_tables(parts)["gram"].combine_chunks())
-        if parts
-        else pa.array([], type=pa.string())
-    )
-    bcast = LazyBroadcast(ray.put(gram_set))
+    bcast = benchmark_gram_broadcast(benchmark, n)
 
     def flag(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -838,12 +839,12 @@ def contamination(
         n_hits = np.zeros(n_rows, dtype=np.int64)
         grams, widx = _word_ngrams(batch["text"], n)
         if len(grams):
-            np.add.at(n_grams, widx, 1)
+            n_grams = np.bincount(widx, minlength=n_rows)
             if len(bcast.state):
                 hit = np.asarray(
                     pc.is_in(grams, value_set=bcast.state), dtype=bool
                 )
-                np.add.at(n_hits, widx[hit], 1)
+                n_hits = np.bincount(widx[hit], minlength=n_rows)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -869,12 +870,13 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
 
     Pass 1 (candidates): each batch counts its own tokens (Arrow
     dictionary_encode + bincount) and emits only terms with
-    local_tf ≥ φ·local_n, plus one sentinel row carrying local_n.
+    local_tf ≥ φ·local_n − 1 (the −1 slack keeps the guarantee free of
+    float rounding), plus one sentinel row carrying local_n.
     Pigeonhole guarantee: if tf(t) ≥ φ·N globally, then some batch has
     local_tf(t) ≥ φ·local_n — the union of per-batch candidates is a
-    SUPERSET of the true answer, and each batch emits ≤ 1/φ terms, so
-    the collected candidate table is ≤ batches/φ rows (φ=0.001, 10⁵
-    blocks → ≤ 10⁸ bytes of terms; tune φ to the cluster).
+    SUPERSET of the true answer, and each batch emits ≤ ~2/φ terms, so
+    the collected candidate table is ≤ 2·batches/φ rows (φ=0.001, 10⁵
+    blocks → ≤ ~2×10⁸ bytes of terms; tune φ to the cluster).
 
     Pass 2 (verify): the candidate set is broadcast once
     (``ray.put``); each batch counts ONLY candidate tokens
@@ -893,7 +895,7 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
 
     def candidates(batch: pa.Table) -> pa.Table:
-        flat = _hh_tokenize(batch)
+        flat, _ = _flat_tokens(batch["text"])
         n = len(flat)
         sentinel = pa.table(
             {
@@ -908,7 +910,7 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
         tf = np.bincount(codes, minlength=len(d.dictionary))
         # slack of 1 absorbs float rounding of phi*n at exact-boundary
         # ties — the superset guarantee must not hinge on an ulp; the
-        # candidate bound merely relaxes from 1/phi to ~1/phi per batch
+        # candidate bound relaxes from 1/phi to ~2/phi per batch
         keep = np.flatnonzero(tf >= phi * n - 1.0)
         if keep.size == 0:
             return sentinel
@@ -926,21 +928,19 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
             ]
         )
 
-    # bounded collect: ≤ batches×(1/φ + 1) rows by construction
-    parts = list(
-        ds.select_columns(["text"])
-        .map_batches(candidates, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    cand_tbl = (
-        pa.concat_tables(parts)
-        if parts
-        else pa.table(
+    from pyppmd_ray.functions.collect import collect_table
+
+    # bounded collect: ≤ batches×(2/φ + 1) rows by construction
+    cand_tbl = collect_table(
+        ds.select_columns(["text"]).map_batches(
+            candidates, batch_format="pyarrow"
+        ),
+        empty=pa.table(
             {
                 "term": pa.array([], type=pa.string()),
                 "tf": pa.array([], type=pa.int64()),
             }
-        )
+        ),
     )
     null_mask = pc.is_null(cand_tbl["term"])
     n_total = int(
@@ -959,7 +959,7 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001) -> rd.Dataset:
     bcast = LazyBroadcast(ray.put(cand))
 
     def verify(batch: pa.Table) -> pa.Table:
-        flat = _hh_tokenize(batch)
+        flat, _ = _flat_tokens(batch["text"])
         if len(flat) == 0:
             return empty
         flat = flat.filter(pc.is_in(flat, value_set=bcast.state))
