@@ -368,6 +368,16 @@ def _q_training_corpus(sf_dir: str):
     )
 
 
+def _q_exact_k(sf_dir: str):
+    """Exactly 10 docs per language in deterministic sha256(doc_id)
+    order (held-out-split carving): grouped_topk ascending on the hash,
+    never a corpus sort."""
+    from pyppmd_ray.functions.sample import stratified_exact_k
+
+    ds = _ds(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return stratified_exact_k(ds, "lang", 10)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -901,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget_mix": _q_token_budget_mix,    # new query (r5)
         "doc_ngram_counts": _q_ngram_counts,            # new query (r5)
         "prepare_training_corpus": _q_training_corpus,  # new query (r5)
+        "documents_exact_k": _q_exact_k,                # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -942,13 +953,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "documents_distinct_text": _q_distinct_text,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
-        "ann_topk": _q_ann_topk,
         "pack_sequences": _q_pack_sequences,
         "documents_stratified_sample": _q_documents_stratified,
         # --- tail block: r04-green, code untouched in r5 (rotated past
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_lsh_topk": _q_lsh_ann,
         "embedding_quantize": _q_embedding_quantize,
@@ -1475,6 +1486,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
             "% 4294967296 < 1073741824"
+        ),
+        "documents_exact_k": (
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "    PARTITION BY lang ORDER BY "
+            "    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "    doc_id) AS rn "
+            "  FROM documents) t WHERE rn <= 10"
         ),
         "documents_stratified_sample": (
             "SELECT doc_id, lang FROM documents "

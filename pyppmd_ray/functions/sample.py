@@ -147,6 +147,39 @@ def grouped_topk(
     return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
 
 
+def stratified_exact_k(
+    ds: rd.Dataset,
+    group_col: str,
+    k: int,
+    *,
+    key_col: str = "doc_id",
+) -> rd.Dataset:
+    """EXACTLY ``k`` rows per group, chosen in deterministic
+    sha256(key) order — the fixed-size per-stratum split (held-out eval
+    sets, per-language calibration samples) that rate-based
+    :func:`stratified_sample` cannot give (a rate yields a BINOMIAL
+    count). Rerun-stable and cluster-size-independent: the "sample" is
+    the k smallest hash values per group, i.e. :func:`grouped_topk`
+    ascending on the hash — per-batch local k×groups reduction, one
+    small groupby; the corpus is never sorted."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = sha256_prefix_u64(batch[key_col])
+        return batch.append_column("__h", pa.array(h, type=pa.uint64()))
+
+    picked = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        group_col,
+        "__h",
+        k,
+        ascending=True,
+        tie_by=key_col,
+    )
+    return picked.map_batches(
+        lambda b: b.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
 def stratified_sample(
     ds: rd.Dataset,
     rates: dict[str, float],

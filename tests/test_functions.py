@@ -1598,6 +1598,39 @@ class TestChunkDocuments:
             chunk_documents(rd.from_arrow(docs), max_tokens=0)
 
 
+class TestStratifiedExactK:
+    def test_exact_k_per_group_deterministic(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from pyppmd_ray.functions.sample import stratified_exact_k
+
+        n = 60
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "lang": [["en", "de"][i % 2] for i in range(n)],
+            }
+        )
+        out = (
+            stratified_exact_k(rd.from_arrow(tbl).repartition(4), "lang", 5)
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert out.groupby("lang").size().tolist() == [5, 5]
+        # brute force: 5 smallest sha256(doc_id) per lang
+        def h(i):
+            return int.from_bytes(hashlib.sha256(str(i).encode()).digest()[:8], "big")
+
+        for lang, off in (("en", 0), ("de", 1)):
+            ids = sorted(range(off, n, 2), key=lambda i: (h(i), i))[:5]
+            assert sorted(out[out.lang == lang].doc_id.tolist()) == sorted(ids)
+        # no helper column leaks into the output
+        assert list(out.columns) == ["doc_id", "lang"]
+
+
 class TestTokenBudgetSample:
     def test_empty_dataset(self):
         # an empty Dataset yields ZERO batches from iter_batches — the
