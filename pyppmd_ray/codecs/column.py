@@ -258,7 +258,11 @@ def _encode_values(arr: pa.Array, tstr: str, hints: dict) -> bytes:
     if tstr in ("f32", "f64"):
         v = arr.to_numpy(zero_copy_only=False)
         raw = v.tobytes()
-        return min(encode_raw(raw), _encode_bshuf(raw, v.dtype.itemsize), key=len)
+        cands = [encode_raw(raw), _encode_bshuf(raw, v.dtype.itemsize)]
+        fd = _encode_fdec(v, tstr)
+        if fd is not None:
+            cands.append(fd)
+        return min(cands, key=len)
     if tstr == "bool":
         v = arr.to_numpy(zero_copy_only=False)
         return pack_blob("boolp", {"n": len(arr)},
@@ -379,8 +383,50 @@ def _decode_plist(meta: dict, payload: memoryview):
     return offsets, values  # values is a pa.Array (from the column codec)
 
 
+def _encode_fdec(v: np.ndarray, tstr: str) -> bytes | None:
+    """Decimal-scaling float candidate: prices/rates/quantities are
+    fixed-point decimals stored as floats — if every value equals
+    round(v·10^k)/10^k BIT-FOR-BIT for some k ≤ 4, encode the scaled
+    int64s (cents, basis points) through the int cascade instead of
+    entropy-coding mantissa noise.
+
+    Self-validating: the encoder replays the exact decode arithmetic
+    (float64 divide, cast to the target dtype) and compares BIT
+    patterns, so NaN/inf, −0.0, and any value the scaling cannot
+    represent exactly all fall back to the shuffle path — the candidate
+    can never lose data."""
+    if v.size == 0:
+        return None
+    bits = v.view(np.uint32 if v.dtype == np.float32 else np.uint64)
+    v64 = v.astype(np.float64)  # f32 → f64 widening is exact
+    if not np.all(np.isfinite(v64)):
+        return None
+    for k in range(5):
+        s = 10.0**k
+        m = np.rint(v64 * s)
+        if not np.all(np.isfinite(m)) or np.any(np.abs(m) > 2.0**53):
+            return None  # scaling overflows exact-integer range
+        recon = (m / s).astype(v.dtype)
+        if np.array_equal(recon.view(bits.dtype), bits):
+            ib = encode_int_auto(m.astype(np.int64))
+            return pack_blob("fdec", {"n": int(v.size), "k": k, "t": tstr}, ib)
+    return None
+
+
+def _decode_fdec(meta: dict, payload: memoryview) -> bytes:
+    from .base import decode_blob
+
+    ints = np.asarray(decode_blob(payload)).astype(np.float64)
+    if ints.size != meta["n"]:
+        raise CodecError("fdec length mismatch")
+    out = ints / (10.0 ** meta["k"])
+    dtype = np.float32 if meta["t"] == "f32" else np.float64
+    return out.astype(dtype).tobytes()
+
+
 register(14, "boolp", _decode_boolp)
 register(15, "plist", _decode_plist)
+register(27, "fdec", _decode_fdec)
 
 
 def _decode_pdec(meta: dict, payload: memoryview) -> bytes:

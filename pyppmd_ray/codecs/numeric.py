@@ -196,8 +196,47 @@ def _decode_raw(meta: dict, payload: memoryview) -> bytes:
     return bytes(payload)
 
 
+def encode_gcd(arr: np.ndarray) -> bytes | None:
+    """GCD-scaling candidate: when every (v − min) shares a common
+    divisor g > 1 — day-granular timestamps (g = 86.4e9 µs), cent
+    prices, fixed-stride ids — encode (v − min)/g and reconstruct with
+    exact integer math. Returns None when g ≤ 1 or the value range
+    cannot be normalized safely."""
+    if arr.size == 0:
+        return None
+    signed = arr.dtype == np.int64
+    mn = int(arr.min())
+    if signed:
+        if int(arr.max()) - mn >= 1 << 63:
+            return None  # range overflows the u64 normalize path
+        d = (arr - np.int64(mn)).astype(np.uint64)
+    else:
+        d = arr - np.uint64(mn)
+    g = int(np.gcd.reduce(d))
+    if g <= 1:
+        return None
+    q = (d // np.uint64(g)).astype(np.int64)  # ≤ (2^64−1)/2 → fits
+    payload = encode_int_auto(q)  # q's gcd is 1 ⇒ recursion stops here
+    return pack_blob(
+        "gcd", {"n": int(arr.size), "mn": mn, "g": g, "s": int(signed)}, payload
+    )
+
+
+def _decode_gcd(meta: dict, payload: memoryview) -> np.ndarray:
+    from .base import decode_blob
+
+    q = np.asarray(decode_blob(payload))
+    if q.size != meta["n"]:
+        raise CodecError("gcd length mismatch")
+    if bool(meta["s"]):
+        # q·g ≤ (max−min) < 2^63 and +min stays in int64 by construction
+        return q.astype(np.int64) * np.int64(meta["g"]) + np.int64(meta["mn"])
+    return q.astype(np.uint64) * np.uint64(meta["g"]) + np.uint64(meta["mn"])
+
+
 def encode_int_auto(arr: np.ndarray) -> bytes:
-    """Pick the smallest of forpack / delta / rle / constant for an int array."""
+    """Pick the smallest of forpack / delta / rle / gcd / constant for an
+    int array."""
     if arr.size:
         mn, mx = int(arr.min()), int(arr.max())
         if mn == mx:
@@ -206,6 +245,9 @@ def encode_int_auto(arr: np.ndarray) -> bytes:
     # RLE only worth trying when runs exist
     if arr.size and np.count_nonzero(np.diff(arr)) < arr.size // 2:
         cands.append(encode_rle(arr))
+    eg = encode_gcd(arr)
+    if eg is not None:
+        cands.append(eg)
     return min(cands, key=len)
 
 
@@ -214,3 +256,4 @@ register(2, "constant", _decode_constant)
 register(4, "forpack", _decode_for)
 register(5, "delta", _decode_delta)
 register(6, "rle", _decode_rle)
+register(26, "gcd", _decode_gcd)

@@ -349,3 +349,110 @@ class TestWtok:
         ]
         plan = plan_table(pa.table({"text": texts}))
         assert plan["text"]["data_codec"] == "wtok"
+
+
+class TestGcdCodec:
+    def test_timestamp_stride_roundtrip(self):
+        import numpy as np
+
+        from pyppmd_ray.codecs import decode_blob
+        from pyppmd_ray.codecs.numeric import encode_gcd, encode_int_auto
+
+        day = 86_400_000_000
+        rng = np.random.default_rng(9)
+        v = (rng.integers(10_000, 12_000, 500) * day).astype(np.int64)
+        blob = encode_gcd(v)
+        assert blob is not None
+        np.testing.assert_array_equal(decode_blob(blob), v)
+        # the auto selector must pick it up and beat plain FOR
+        auto = encode_int_auto(v)
+        assert len(auto) <= len(blob)
+        np.testing.assert_array_equal(decode_blob(auto), v)
+
+    def test_gcd_one_returns_none(self):
+        import numpy as np
+
+        from pyppmd_ray.codecs.numeric import encode_gcd
+
+        v = np.array([0, 1, 2, 5], dtype=np.int64)
+        assert encode_gcd(v) is None
+
+    def test_unsigned_full_range(self):
+        import numpy as np
+
+        from pyppmd_ray.codecs import decode_blob
+        from pyppmd_ray.codecs.numeric import encode_gcd
+
+        v = np.array(
+            [2**64 - 2, 2**64 - 4, 10, 2, 2**63], dtype=np.uint64
+        )  # gcd(v - 2) = 2
+        blob = encode_gcd(v)
+        assert blob is not None
+        np.testing.assert_array_equal(decode_blob(blob), v)
+
+    def test_negative_values(self):
+        import numpy as np
+
+        from pyppmd_ray.codecs import decode_blob
+        from pyppmd_ray.codecs.numeric import encode_gcd
+
+        v = np.array([-300, -100, 500, 12_300], dtype=np.int64)
+        blob = encode_gcd(v)  # gcd of (v+300) = 100
+        assert blob is not None
+        np.testing.assert_array_equal(decode_blob(blob), v)
+
+
+class TestFdecCodec:
+    def _roundtrip(self, arr):
+        import numpy as np
+        import pyarrow as pa
+
+        from pyppmd_ray.codecs import decode_blob, encode_column
+
+        col = pa.array(arr)
+        blob = encode_column(col)
+        out = decode_blob(blob).to_numpy(zero_copy_only=False)
+        # bitwise compare: pa.Array.equals treats NaN != NaN
+        view = np.uint32 if arr.dtype == np.float32 else np.uint64
+        np.testing.assert_array_equal(out.view(view), np.asarray(arr).view(view))
+        return blob
+
+    def test_two_decimal_prices_compress(self):
+        import numpy as np
+
+        from pyppmd_ray.codecs import encode_column
+        import pyarrow as pa
+
+        rng = np.random.default_rng(4)
+        v = np.round(rng.uniform(0, 100, 2000), 2)
+        blob = self._roundtrip(v)
+        # must beat the shuffle path by a wide margin on 2-decimal data
+        raw = 2000 * 8
+        assert len(blob) < raw / 3
+        # the inner blob must be fdec (wire id 27 = 0x1b, blob VERSION 2)
+        assert b"PR\x02\x1b" in bytes(blob)
+
+    def test_negative_zero_falls_back_bitwise(self):
+        import numpy as np
+
+        v = np.array([0.25, -0.0, 1.5], dtype=np.float64)
+        self._roundtrip(v)  # -0.0 must survive bit-for-bit
+
+    def test_nan_inf_fall_back(self):
+        import numpy as np
+
+        v = np.array([1.25, np.nan, np.inf, -2.5], dtype=np.float64)
+        self._roundtrip(v)
+
+    def test_float32_scaling(self):
+        import numpy as np
+
+        v = np.array([0.1, 0.2, 0.3, 12.7], dtype=np.float32)
+        self._roundtrip(v)
+
+    def test_non_decimal_noise_falls_back(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(500)
+        self._roundtrip(v)
