@@ -300,3 +300,39 @@ def test_wtok_front_code_inverts():
         assert got == w
         pos += suf_len[i]
         prev = got
+
+
+@settings(max_examples=40, deadline=DEADLINE)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=1_000_000),
+)
+def test_gcd_codec_roundtrip_property(base, g):
+    """gcd codec fuzz: any int64 array scaled by any stride must
+    round-trip exactly through the auto cascade."""
+    from pyppmd_ray.codecs.numeric import encode_int_auto
+
+    v = (np.array(base, dtype=np.int64) * np.int64(g))
+    out = decode_blob(encode_int_auto(v))
+    np.testing.assert_array_equal(np.asarray(out), v)
+
+
+@settings(max_examples=40, deadline=DEADLINE)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7), min_size=1, max_size=200
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_fdec_codec_roundtrip_property(cents, k):
+    """fdec fuzz: any k-decimal fixed-point values stored as float64
+    must round-trip BIT-exactly through encode_column (and any array
+    the scaling cannot represent exactly must fall back, also
+    bit-exact — the self-validation makes both paths safe)."""
+    import pyarrow as pa
+
+    from pyppmd_ray.codecs import encode_column
+
+    v = np.array(cents, dtype=np.float64) / (10.0**k)
+    out = decode_blob(encode_column(pa.array(v))).to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(out.view(np.uint64), v.view(np.uint64))
