@@ -378,6 +378,16 @@ def _q_exact_k(sf_dir: str):
     return stratified_exact_k(ds, "lang", 10)
 
 
+def _q_doc_len_quantiles(sf_dir: str):
+    """Per-language length percentiles (0.5/0.9/0.99 of n_chars) —
+    quality-threshold calibration: one (lang, value) histogram groupby,
+    then a vectorized per-group merge."""
+    from pyppmd_ray.functions.stats import grouped_quantiles
+
+    ds = _ds(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars", [0.5, 0.9, 0.99])
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -912,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_counts": _q_ngram_counts,            # new query (r5)
         "prepare_training_corpus": _q_training_corpus,  # new query (r5)
         "documents_exact_k": _q_exact_k,                # new query (r5)
+        "doc_len_quantiles_by_lang": _q_doc_len_quantiles,  # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -950,7 +961,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
         "roundtrip_decimal": _q_roundtrip_decimal,
         # --- untouched, r04-green; keep inside the window while room ---
-        "term_doc_freq": _q_term_doc_freq,
         "documents_distinct_text": _q_distinct_text,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "pack_sequences": _q_pack_sequences,
@@ -959,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "term_doc_freq": _q_term_doc_freq,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_lsh_topk": _q_lsh_ann,
@@ -1723,6 +1734,18 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE 63.0 / (CAST(kth AS DOUBLE) / 18446744073709551616.0) "
             "  END AS n_distinct_est "
             "FROM agg"
+        ),
+        "doc_len_quantiles_by_lang": (
+            "WITH h AS (SELECT lang, n_chars AS v, count(*) AS c "
+            "           FROM documents GROUP BY lang, v), "
+            "t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY lang), "
+            "s AS (SELECT lang, v, sum(c) OVER ("
+            "        PARTITION BY lang ORDER BY v) AS cum FROM h) "
+            "SELECT t.lang, CAST(q AS DOUBLE) AS q, "
+            "  (SELECT CAST(min(v) AS DOUBLE) FROM s "
+            "   WHERE s.lang = t.lang AND cum >= ceil(q * t.n)) AS value, "
+            "  TRUE AS exact "
+            "FROM t, (VALUES (0.5), (0.9), (0.99)) AS qq(q)"
         ),
         "lineitem_quantiles": (
             "WITH h AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY v), "

@@ -84,6 +84,72 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> pa.Table:
     )
 
 
+def grouped_quantiles(
+    ds: rd.Dataset, group_col: str, col: str, qs: list[float]
+) -> rd.Dataset:
+    """Exact per-group quantiles → Dataset(group, q, value, exact) —
+    per-language length percentiles for quality-threshold calibration
+    and the like. Same semantics as :func:`quantiles`' exact path
+    (value = min v whose cumulative count ≥ ceil(q·n), nulls excluded).
+
+    Scale shape: ONE ``groupby((group, value)).count()`` reduces the
+    corpus to per-group distinct histograms before anything moves wide,
+    then a hash-partitioned per-group merge (vectorized sort + cumsum +
+    searchsorted — a few rows out per group). Partitioning assumption:
+    one group's DISTINCT-value histogram fits in a worker (true for
+    bounded measures like lengths/scores; use :func:`quantiles`' binned
+    guard pattern for unbounded ones)."""
+    from pyppmd_ray.functions.relational import _streaming_map_groups
+
+    sch = ds.schema()
+    if sch is None or group_col not in sch.names:
+        raise ValueError(
+            f"grouped_quantiles requires a known schema containing {group_col!r}"
+        )
+    gtype = sch.types[sch.names.index(group_col)]
+    counts = ds.groupby([group_col, col]).count()
+
+    def merge(group: pa.Table):
+        v = group[col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        c = group["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = ~np.isnan(v)  # the null group arrives as NaN
+        v, c = v[keep], c[keep]
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1]) if cum.size else 0
+        out_q, out_v = [], []
+        for q in qs:
+            if n == 0:
+                continue
+            rank = max(1, min(int(np.ceil(q * n)), n))
+            out_q.append(float(q))
+            out_v.append(float(v[int(np.searchsorted(cum, rank, side="left"))]))
+        gval = group[group_col][0].as_py()
+        yield pa.table(
+            {
+                group_col: pa.array([gval] * len(out_q), type=group[group_col].type),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.float64()),
+                "exact": pa.array([True] * len(out_q), type=pa.bool_()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], type=gtype),
+            "q": pa.array([], type=pa.float64()),
+            "value": pa.array([], type=pa.float64()),
+            "exact": pa.array([], type=pa.bool_()),
+        }
+    )
+    return _streaming_map_groups(counts, [group_col], merge, empty_table=empty)
+
+
 def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
     """Per-column data-quality profile → one row per column:
     (column, n_rows, n_nulls, min, max) with min/max as float64.

@@ -1420,6 +1420,46 @@ class TestHeavyHitters:
             heavy_hitters(rd.from_arrow(self._corpus()), phi=0.0)
 
 
+class TestGroupedQuantiles:
+    def test_exact_per_group(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import grouped_quantiles
+
+        tbl = pa.table(
+            {
+                "g": ["a"] * 10 + ["b"] * 4,
+                "v": pa.array(
+                    list(range(1, 11)) + [100, 200, 200, 300], type=pa.int64()
+                ),
+            }
+        )
+        out = (
+            grouped_quantiles(rd.from_arrow(tbl), "g", "v", [0.5, 0.9])
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        # a: n=10 -> ranks 5, 9 -> values 5, 9; b: n=4 -> ranks 2, 4
+        assert out.g.tolist() == ["a", "a", "b", "b"]
+        assert out.value.tolist() == [5.0, 9.0, 200.0, 300.0]
+        assert out.exact.all()
+
+    def test_nulls_excluded(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import grouped_quantiles
+
+        tbl = pa.table(
+            {
+                "g": ["a", "a", "a"],
+                "v": pa.array([None, 7, None], type=pa.int64()),
+            }
+        )
+        out = grouped_quantiles(rd.from_arrow(tbl), "g", "v", [0.5]).to_pandas()
+        assert out.value.tolist() == [7.0]
+
+
 class TestEmptyInputCollects:
     def test_driver_merge_operators_on_empty_dataset(self):
         # empty Datasets yield ZERO batches from iter_batches; every
