@@ -388,6 +388,15 @@ def _q_doc_len_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "lang", "n_chars", [0.5, 0.9, 0.99])
 
 
+def _q_event_outliers(sf_dir: str):
+    """Tukey-fence outliers of value per event_type (robust anomaly
+    gate): grouped quantiles → broadcast fences → map-side filter."""
+    from pyppmd_ray.functions.stats import grouped_outliers
+
+    ds = _ds(sf_dir, "events").select_columns(["event_id", "event_type", "value"])
+    return grouped_outliers(ds, "event_type", "value", id_col="event_id", k=1.5)
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -923,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_corpus": _q_training_corpus,  # new query (r5)
         "documents_exact_k": _q_exact_k,                # new query (r5)
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,  # new query (r5)
+        "event_value_outliers": _q_event_outliers,      # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -961,7 +971,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_u64_boundary": _q_roundtrip_u64_boundary,
         "roundtrip_decimal": _q_roundtrip_decimal,
         # --- untouched, r04-green; keep inside the window while room ---
-        "documents_distinct_text": _q_distinct_text,
         "prepare_corpus_neardup": _q_prepare_corpus_neardup,  # uses MinHasher (r5)
         "pack_sequences": _q_pack_sequences,
         "documents_stratified_sample": _q_documents_stratified,
@@ -969,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "documents_distinct_text": _q_distinct_text,
         "term_doc_freq": _q_term_doc_freq,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_ann,
@@ -1746,6 +1756,23 @@ def oracle_sql() -> dict[str, str]:
             "   WHERE s.lang = t.lang AND cum >= ceil(q * t.n)) AS value, "
             "  TRUE AS exact "
             "FROM t, (VALUES (0.5), (0.9), (0.99)) AS qq(q)"
+        ),
+        "event_value_outliers": (
+            "WITH h AS (SELECT event_type AS g, value AS v, count(*) AS c "
+            "           FROM events GROUP BY g, v), "
+            "t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g), "
+            "s AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum "
+            "      FROM h), "
+            "qq AS (SELECT t.g, "
+            "  (SELECT CAST(min(v) AS DOUBLE) FROM s "
+            "   WHERE s.g = t.g AND cum >= ceil(0.25 * t.n)) AS q1, "
+            "  (SELECT CAST(min(v) AS DOUBLE) FROM s "
+            "   WHERE s.g = t.g AND cum >= ceil(0.75 * t.n)) AS q3 "
+            " FROM t) "
+            "SELECT e.event_id, e.event_type, e.value FROM events e "
+            "JOIN qq ON e.event_type = qq.g "
+            "WHERE e.value < qq.q1 - 1.5 * (qq.q3 - qq.q1) "
+            "   OR e.value > qq.q3 + 1.5 * (qq.q3 - qq.q1)"
         ),
         "lineitem_quantiles": (
             "WITH h AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY v), "

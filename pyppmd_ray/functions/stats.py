@@ -150,6 +150,62 @@ def grouped_quantiles(
     return _streaming_map_groups(counts, [group_col], merge, empty_table=empty)
 
 
+def grouped_outliers(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    id_col: str = "doc_id",
+    k: float = 1.5,
+) -> rd.Dataset:
+    """Tukey-fence outliers per group: rows with ``col`` outside
+    [q1 − k·IQR, q3 + k·IQR] of their group — Dataset(id, group, value).
+    The robust (quantile-based, not mean/std) anomaly gate: mean/std
+    oracles are float-sum-order-dependent across parallelism levels,
+    while exact quantiles of integer measures make the fences
+    bit-reproducible (whole-number quartiles, k·IQR exact in binary
+    for k = 1.5).
+
+    Composition: :func:`grouped_quantiles` (bounded histogram shuffle)
+    → tiny 2-rows-per-group fence table collected once and broadcast →
+    map-side filter. Nothing driver-side scales with the corpus."""
+    import ray
+
+    from pyppmd_ray.functions.broadcast import LazyBroadcast
+    from pyppmd_ray.functions.collect import collect_table
+
+    qtbl = collect_table(grouped_quantiles(ds, group_col, col, [0.25, 0.75]))
+    fences: dict = {}
+    for g, q, v in zip(
+        qtbl[group_col].to_pylist(), qtbl["q"].to_pylist(), qtbl["value"].to_pylist()
+    ):
+        fences.setdefault(g, {})[q] = v
+    bounds = {
+        g: (d[0.25] - k * (d[0.75] - d[0.25]), d[0.75] + k * (d[0.75] - d[0.25]))
+        for g, d in fences.items()
+        if 0.25 in d and 0.75 in d
+    }
+    bcast = LazyBroadcast(ray.put(bounds))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sel = batch.select([id_col, group_col, col])
+        if batch.num_rows == 0:
+            return sel
+        b = bcast.state
+        v = batch[col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = batch[group_col].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # fence lookup over the (small) per-batch group dictionary only
+        fence = [b.get(g, (-np.inf, np.inf)) for g in d.dictionary.to_pylist()]
+        lo = np.array([f[0] for f in fence], dtype=np.float64)[codes]
+        hi = np.array([f[1] for f in fence], dtype=np.float64)[codes]
+        keep = (v < lo) | (v > hi)
+        return sel.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def profile_numeric(ds: rd.Dataset, columns: list[str]) -> pa.Table:
     """Per-column data-quality profile → one row per column:
     (column, n_rows, n_nulls, min, max) with min/max as float64.

@@ -1460,6 +1460,48 @@ class TestGroupedQuantiles:
         assert out.value.tolist() == [7.0]
 
 
+class TestGroupedOutliers:
+    def test_tukey_fences(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import grouped_outliers
+
+        # group a: q1=2, q3=4 (n=8), IQR=2 -> fences [-1, 7]; 100 flagged
+        # group b: all equal -> IQR=0 -> only exact-unequal values flag
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "g": ["a"] * 9 + ["b"] * 3,
+                "v": pa.array(
+                    [1, 2, 2, 3, 3, 4, 4, 5, 100, 7, 7, 7], type=pa.int64()
+                ),
+            }
+        )
+        out = (
+            grouped_outliers(rd.from_arrow(tbl), "g", "v", id_col="doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [8]
+        assert out.v.tolist() == [100]
+
+    def test_nulls_never_flagged(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import grouped_outliers
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "g": ["a"] * 5,
+                "v": pa.array([10, 10, 10, None, 99], type=pa.int64()),
+            }
+        )
+        out = grouped_outliers(rd.from_arrow(tbl), "g", "v", id_col="doc_id").to_pandas()
+        assert out.doc_id.tolist() == [5]
+
+
 class TestEmptyInputCollects:
     def test_driver_merge_operators_on_empty_dataset(self):
         # empty Datasets yield ZERO batches from iter_batches; every
