@@ -949,7 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "token_count_bpe": _q_token_count_bpe,  # r5: RE2 kernel count
         "asof_events_orders": _q_asof_events_orders,   # r5: zero-copy merge
-        "asof_events_orders_salted": _q_asof_salted,
+        "ann_topk": _q_ann_topk,                       # r5: collect hardening
         "orders_grouped_topk": _q_grouped_topk,        # r5: NaN guard
         "orders_topk_price": _q_orders_topk,
         # joins (r5: salt_keys path added alongside)
@@ -980,7 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample": _q_documents_sample,
         "documents_distinct_text": _q_distinct_text,
         "term_doc_freq": _q_term_doc_freq,
-        "ann_topk": _q_ann_topk,
+        "asof_events_orders_salted": _q_asof_salted,
         "ann_ivf_topk": _q_ivf_ann,
         "ann_lsh_topk": _q_lsh_ann,
         "embedding_quantize": _q_embedding_quantize,
