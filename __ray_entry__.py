@@ -397,6 +397,15 @@ def _q_event_outliers(sf_dir: str):
     return grouped_outliers(ds, "event_type", "value", id_col="event_id", k=1.5)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Cross-document duplicate-span index: winnowing fingerprints
+    shared by >= 2 documents (the exact-substring dedup candidate set).
+    One rolling-hash pass per batch, one groupby(fp).count."""
+    from pyppmd_ray.functions.dedup import winnow_duplicate_fingerprints
+
+    return winnow_duplicate_fingerprints(_ds(sf_dir, "documents"))
+
+
 def _q_distinct_text(sf_dir: str):
     """Exact distinct count, in-cluster (batch-local hash dedup →
     groupby(hash) → group count; only 64-bit hashes shuffle)."""
@@ -933,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_exact_k": _q_exact_k,                # new query (r5)
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,  # new query (r5)
         "event_value_outliers": _q_event_outliers,      # new query (r5)
+        "dup_spans_winnow": _q_dup_spans,               # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -951,7 +961,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": _q_asof_events_orders,   # r5: zero-copy merge
         "ann_topk": _q_ann_topk,                       # r5: collect hardening
         "orders_grouped_topk": _q_grouped_topk,        # r5: NaN guard
-        "orders_topk_price": _q_orders_topk,
         # joins (r5: salt_keys path added alongside)
         "lineitem_orders_join": _q_lineitem_orders_join,
         "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
@@ -978,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "orders_topk_price": _q_orders_topk,
         "documents_distinct_text": _q_distinct_text,
         "term_doc_freq": _q_term_doc_freq,
         "asof_events_orders_salted": _q_asof_salted,
@@ -1305,6 +1315,22 @@ agg AS (
 SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp, COALESCE(a.fp_xor, 0) AS fp_xor
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def _winnow_dup_sql(k: int = 8, window: int = 16) -> str:
+    """Variant of _winnow_sql: fingerprints (63-bit-masked) shared by
+    ≥ 2 documents, with distinct-doc counts."""
+    base = _winnow_sql(k, window)
+    # reuse the docs/grams/winfo/mins CTE chain, swap the final aggregate
+    head = base.split("agg AS (")[0]
+    return (
+        head
+        + "dfp AS (SELECT DISTINCT doc_id, "
+        + "mv & 9223372036854775807::UBIGINT AS fp FROM mins) "
+        + "SELECT CAST(fp AS BIGINT) AS fp, "
+        + "CAST(count(*) AS BIGINT) AS n_docs "
+        + "FROM dfp GROUP BY fp HAVING count(*) >= 2"
+    )
 
 
 def _ann_lsh_sql(n_bits: int = 8, k: int = 10, nq: int = 4) -> str:
@@ -1870,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "dup_spans_winnow": _winnow_dup_sql(),
         "pii_scan": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, "

@@ -498,6 +498,108 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_duplicate_fingerprints(
+    ds: rd.Dataset, k: int = 8, window: int = 16
+) -> rd.Dataset:
+    """Cross-document duplicate-SPAN index (the MOSS / exact-substring
+    dedup shape, Schleimer et al. 2003; Lee et al. 2022 §4): winnowing
+    fingerprints — minima of rolling k-gram hashes per window — that
+    appear in MORE THAN ONE document → Dataset(fp, n_docs). Any shared
+    span of ≥ k+window−1 bytes is guaranteed to share a fingerprint, so
+    the output is the candidate index for substring-level dedup.
+
+    Fully vectorized per batch: one rolling-hash pass over the batch's
+    concatenated UTF-8 bytes (shifted-slice Horner accumulation, u64
+    wraparound — byte-identical to :class:`WinnowFingerprinter`), a
+    single ``sliding_window_view`` min for the fixed-window docs plus a
+    ``minimum.reduceat`` for docs shorter than the window, and a
+    lexsort dedup for per-doc distinct fingerprints. Shuffle volume is
+    the fingerprint stream (≈ bytes/window per doc — the standard
+    winnowing index density), pre-deduped per document; then ONE
+    ``groupby(fp).count`` and a ≥2 filter. Fingerprints are masked to
+    63 bits (int64-safe) BEFORE the distinct, matching the SQL oracle.
+    """
+    from ray.data.aggregate import Count
+
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1 (got {k}, {window})")
+    prime = np.uint64(0x100000001B3)
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"fp": pa.array([], type=pa.int64())})
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        b = pc.cast(pc.fill_null(col, ""), pa.large_binary())
+        off = np.frombuffer(
+            b.buffers()[1], dtype=np.int64, count=len(b) + 1, offset=b.offset * 8
+        )
+        data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+        n_bytes = int(off[-1]) - int(off[0])
+        if n_bytes < k:
+            return empty
+        a = data[int(off[0]) : int(off[-1])]
+        off0 = off - off[0]
+        lens = np.diff(off0)
+        n_rows = lens.size
+        # rolling k-gram hashes over the flat stream (Horner, u64 wrap)
+        npos = a.size - k + 1
+        g = np.zeros(npos, dtype=np.uint64)
+        for j in range(k):
+            g = g * prime + a[j : j + npos].astype(np.uint64)
+        # gram valid iff its k bytes lie inside one document
+        byte_doc = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        valid = byte_doc[:npos] == byte_doc[k - 1 :]
+        g2 = g[valid]
+        gdoc = byte_doc[:npos][valid]
+        if g2.size == 0:
+            return empty
+        m = np.maximum(lens - k + 1, 0)  # grams per doc
+        fps_doc = []
+        fps_val = []
+        # fixed-window docs: one global sliding min, windows kept only
+        # when fully inside a document (gram segments are contiguous)
+        if g2.size >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            wmin = sliding_window_view(g2, window).min(axis=1)
+            nw = wmin.size
+            wok = gdoc[:nw] == gdoc[window - 1 :]
+            fps_val.append(wmin[wok])
+            fps_doc.append(gdoc[:nw][wok])
+        # short docs (0 < grams < window): fingerprint = min of all grams.
+        # reduceat over the starts of ALL nonzero-gram docs — their
+        # segments tile g2 exactly, so each reduction stops at the next
+        # doc's start (start-indices of only the short docs would bleed
+        # into neighbouring documents)
+        nzdocs = np.flatnonzero(m > 0)
+        if nzdocs.size:
+            gstart = np.concatenate(([0], np.cumsum(m)[:-1]))
+            dmin = np.minimum.reduceat(g2, gstart[nzdocs])
+            is_short = m[nzdocs] < window
+            if is_short.any():
+                fps_val.append(dmin[is_short])
+                fps_doc.append(nzdocs[is_short].astype(np.int64))
+        if not fps_val:
+            return empty
+        fv = (np.concatenate(fps_val) & mask).astype(np.int64)
+        fd = np.concatenate(fps_doc)
+        # per-doc distinct fingerprints (masked), one lexsort
+        order = np.lexsort((fv, fd))
+        fv, fd = fv[order], fd[order]
+        keep = np.r_[True, (fv[1:] != fv[:-1]) | (fd[1:] != fd[:-1])]
+        return pa.table({"fp": pa.array(fv[keep], type=pa.int64())})
+
+    counts = (
+        ds.select_columns(["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return counts.filter(expr="n_docs >= 2")
+
+
 # ---------------------------------------------------------------- SimHash
 
 

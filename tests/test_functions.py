@@ -1583,6 +1583,87 @@ class TestPrepareTrainingCorpus:
         assert out.pack_id.tolist() == [0, 0, 1, 1]
 
 
+class TestWinnowDuplicateFingerprints:
+    def test_shared_span_detected(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import winnow_duplicate_fingerprints
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [
+                    "AAA " + shared + " BBB",
+                    "CCCCC " + shared + " DDDDD",
+                    "completely unrelated content that matches nothing else here",
+                ],
+            }
+        )
+        out = winnow_duplicate_fingerprints(
+            rd.from_arrow(docs).repartition(3), k=8, window=16
+        ).to_pandas()
+        # the shared 52-byte span must contribute >= 1 shared fingerprint
+        assert len(out) >= 1
+        assert (out.n_docs == 2).all()
+
+    def test_matches_reference_kernel_per_doc(self):
+        # the vectorized batch kernel must produce the same per-doc
+        # fingerprint sets as WinnowFingerprinter's per-doc rolling hash
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        import ray.data as rd
+
+        from pyppmd_ray.functions.dedup import winnow_duplicate_fingerprints
+
+        rng = np.random.default_rng(12)
+        texts = [
+            "".join(chr(97 + c) for c in rng.integers(0, 6, int(n)))
+            for n in rng.integers(1, 120, 40)
+        ]
+        # make overlaps likely: small alphabet + duplicate a few docs
+        texts += texts[:5]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+        k, window = 8, 16
+        mask = (1 << 63) - 1
+
+        def ref_fps(t: str) -> set:
+            a = np.frombuffer(t.encode(), dtype=np.uint8)
+            if a.size < k:
+                return set()
+            n = a.size - k + 1
+            g = np.zeros(n, dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for j in range(k):
+                g = g * prime + a[j : j + n].astype(np.uint64)
+            w = min(window, n)
+            mins = sliding_window_view(g, w).min(axis=1)
+            return {int(v) & mask for v in np.unique(mins)}
+
+        from collections import Counter
+
+        cnt = Counter()
+        for t in texts:
+            for fp in ref_fps(t):
+                cnt[fp] += 1
+        expect = sorted((fp, c) for fp, c in cnt.items() if c >= 2)
+        out = (
+            winnow_duplicate_fingerprints(
+                rd.from_arrow(docs).repartition(4), k=k, window=window
+            )
+            .to_pandas()
+            .sort_values("fp")
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.itertuples(index=False))) == expect
+
+
 class TestContamination:
     def test_flags_and_counts(self):
         import ray.data as rd
