@@ -813,6 +813,26 @@ def _q_multimodal_pixels(sf_dir: str):
     )
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Thumbnail pipeline: documents → real-IDAT PNGs → actor-pool
+    decode + nearest-neighbor resize to 8×8 → per-image resized pixel
+    sums (SQL verifies the whole decode→resample loop by value)."""
+    from pyppmd_ray.functions.multimodal import ImageResizer, to_payload_table
+
+    return (
+        _ds(sf_dir, "documents")
+        .map_batches(
+            lambda b: to_payload_table(b, pixels=True), batch_format="pyarrow"
+        )
+        .map_batches(
+            ImageResizer(target_w=8, target_h=8),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+    )
+
+
 def _q_bpe_trained(sf_dir: str):
     """Trained BPE tokenization (rows-only: iterative merge training is
     not SQL-expressible; unit tests pin known merges). Train on a sample
@@ -943,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_by_lang": _q_doc_len_quantiles,  # new query (r5)
         "event_value_outliers": _q_event_outliers,      # new query (r5)
         "dup_spans_winnow": _q_dup_spans,               # new query (r5)
+        "multimodal_resize": _q_multimodal_resize,      # new query (r5)
         "lineitem_quantiles": _q_lineitem_quantiles,  # r5: 'exact' column
         "roundtrip_documents": _q_roundtrip("documents"),  # r5: wtok m=2
         "roundtrip_documents_projected": _q_roundtrip_projected,  # wtok m=2
@@ -963,7 +984,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_grouped_topk": _q_grouped_topk,        # r5: NaN guard
         # joins (r5: salt_keys path added alongside)
         "lineitem_orders_join": _q_lineitem_orders_join,
-        "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "orders_semi_lineitem": _q_orders_semi,
         "orders_anti_lineitem": _q_orders_anti,
         # --- r5 priority block 2: r03-dated rows due for refresh ---
@@ -987,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-query window; still locally oracle-tested by
         # tests/test_queries.py every run) ---
         "documents_sample": _q_documents_sample,
+        "lineitem_orders_join_bc": _q_lineitem_orders_join_bc,
         "orders_topk_price": _q_orders_topk,
         "documents_distinct_text": _q_distinct_text,
         "term_doc_freq": _q_term_doc_freq,
@@ -1934,6 +1955,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "multimodal_meta": _multimodal_sql(),
         "multimodal_pixels": _multimodal_pixels_sql(),
+        "multimodal_resize": (
+            # resized[r,c] = orig[r*height//8, c*width//8] over the
+            # deterministic pixel grid
+            "WITH d AS (SELECT doc_id, length(text) AS n FROM documents), "
+            "dims AS (SELECT doc_id, CAST(8 + n % 16 AS BIGINT) AS width, "
+            "  CAST(8 + (3*n) % 16 AS BIGINT) AS height, n FROM d) "
+            "SELECT doc_id, CAST(8 AS BIGINT) AS out_w, "
+            "  CAST(8 AS BIGINT) AS out_h, "
+            "  CAST(sum(((r * height // 8) * 31 + (c * width // 8) * 7 + n) "
+            "    % 256) AS BIGINT) AS px_sum "
+            "FROM dims, "
+            "  LATERAL (SELECT unnest(generate_series(0, 7)) AS r) rr, "
+            "  LATERAL (SELECT unnest(generate_series(0, 7)) AS c) cc "
+            "GROUP BY doc_id"
+        ),
         "multimodal_audio": (
             # sample[i] = ((i*2654435761 + n) % 65536) - 32768 over
             # n_samples = 64 + n % 256 — the decoder must reproduce the

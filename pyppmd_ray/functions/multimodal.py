@@ -300,6 +300,44 @@ class MediaDecoder:
         )
 
 
+class ImageResizer:
+    """Actor-pool resize stage: PNG payload → full pixel decode (inflate
+    + unfilter) → nearest-neighbor resample to (target_w, target_h) →
+    per-image summary (out dims + resized px_sum, SQL-verifiable by
+    value since resized[r,c] = orig[r·h//th, c·w//tw]). The
+    thumbnail / vision-preprocessing shape: decode state per actor,
+    small batches for large payloads, map-side only."""
+
+    def __init__(self, target_w: int = 8, target_h: int = 8):
+        if target_w < 1 or target_h < 1:
+            raise ValueError("target dims must be >= 1")
+        self.tw, self.th = target_w, target_h
+        self._dec = MediaDecoder(decode_pixels=True)
+
+    def resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape
+        ri = (np.arange(self.th, dtype=np.int64) * h) // self.th
+        ci = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+        return px[ri][:, ci]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, sums = [], [], [], []
+        for doc_id, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            px = self.resize(self._dec.decode_image(p.as_py() or b""))
+            ids.append(doc_id)
+            heights.append(px.shape[0])
+            widths.append(px.shape[1])
+            sums.append(int(px.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "out_w": pa.array(widths, type=pa.int64()),
+                "out_h": pa.array(heights, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
 def frame_sample_plan(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Frame-sampling stage shape for video payloads: emits (doc_id,
     frame_idx) rows for every n-th frame of a fake per-payload frame count

@@ -1583,6 +1583,40 @@ class TestPrepareTrainingCorpus:
         assert out.pack_id.tolist() == [0, 0, 1, 1]
 
 
+class TestImageResizer:
+    def test_nearest_neighbor_resample(self):
+        from pyppmd_ray.functions.multimodal import ImageResizer
+
+        rz = ImageResizer(target_w=2, target_h=2)
+        px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = rz.resize(px)
+        # ri = [0, 2], ci = [0, 2]
+        assert out.tolist() == [[0, 2], [8, 10]]
+
+    def test_decode_resize_roundtrip(self):
+        from pyppmd_ray.functions.multimodal import (
+            ImageResizer,
+            deterministic_pixels,
+            make_png,
+        )
+
+        w, h, n = 11, 17, 42
+        px = deterministic_pixels(w, h, n)
+        payload = make_png(w, h, b"x", px)
+        rz = ImageResizer(target_w=8, target_h=8)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.large_binary()),
+            }
+        )
+        out = rz(tbl)
+        expect = px[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+        assert out["px_sum"][0].as_py() == int(expect.astype(np.int64).sum())
+        with pytest.raises(ValueError):
+            ImageResizer(target_w=0)
+
+
 class TestWinnowDuplicateFingerprints:
     def test_shared_span_detected(self):
         import ray.data as rd
