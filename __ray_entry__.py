@@ -1793,8 +1793,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM agg"
         ),
         "doc_len_quantiles_by_lang": (
+            # WHERE v IS NOT NULL pins the kernel's nulls-excluded rank
+            # semantics (t.n must not count null-measure rows)
             "WITH h AS (SELECT lang, n_chars AS v, count(*) AS c "
-            "           FROM documents GROUP BY lang, v), "
+            "           FROM documents WHERE n_chars IS NOT NULL "
+            "           GROUP BY lang, v), "
             "t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY lang), "
             "s AS (SELECT lang, v, sum(c) OVER ("
             "        PARTITION BY lang ORDER BY v) AS cum FROM h) "
@@ -1805,8 +1808,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, (VALUES (0.5), (0.9), (0.99)) AS qq(q)"
         ),
         "event_value_outliers": (
+            # WHERE v IS NOT NULL pins the kernel's nulls-excluded rank
+            # semantics in the fence quantiles
             "WITH h AS (SELECT event_type AS g, value AS v, count(*) AS c "
-            "           FROM events GROUP BY g, v), "
+            "           FROM events WHERE value IS NOT NULL GROUP BY g, v), "
             "t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g), "
             "s AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum "
             "      FROM h), "

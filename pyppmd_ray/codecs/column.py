@@ -398,17 +398,29 @@ def _encode_fdec(v: np.ndarray, tstr: str) -> bytes | None:
     if v.size == 0:
         return None
     bits = v.view(np.uint32 if v.dtype == np.float32 else np.uint64)
+
+    def roundtrips(vv, bb, k):
+        """Replay the EXACT decode arithmetic — int64 cast included
+        (float m would keep -0.0 and validate a value the int payload
+        cannot represent) — and compare bit patterns."""
+        s = 10.0**k
+        m = np.rint(vv.astype(np.float64) * s)
+        if not np.all(np.isfinite(m)) or np.any(np.abs(m) > 2.0**53):
+            return None
+        ints = m.astype(np.int64)
+        recon = (ints.astype(np.float64) / s).astype(vv.dtype)
+        return ints if np.array_equal(recon.view(bb.dtype), bb) else None
+
     v64 = v.astype(np.float64)  # f32 → f64 widening is exact
     if not np.all(np.isfinite(v64)):
         return None
+    probe = min(v.size, 64)  # reject noise columns on a prefix first
     for k in range(5):
-        s = 10.0**k
-        m = np.rint(v64 * s)
-        if not np.all(np.isfinite(m)) or np.any(np.abs(m) > 2.0**53):
-            return None  # scaling overflows exact-integer range
-        recon = (m / s).astype(v.dtype)
-        if np.array_equal(recon.view(bits.dtype), bits):
-            ib = encode_int_auto(m.astype(np.int64))
+        if roundtrips(v[:probe], bits[:probe], k) is None:
+            continue
+        ints = roundtrips(v, bits, k)
+        if ints is not None:
+            ib = encode_int_auto(ints)
             return pack_blob("fdec", {"n": int(v.size), "k": k, "t": tstr}, ib)
     return None
 

@@ -204,6 +204,8 @@ def encode_gcd(arr: np.ndarray) -> bytes | None:
     cannot be normalized safely."""
     if arr.size == 0:
         return None
+    if arr.dtype not in (np.dtype(np.int64), np.dtype(np.uint64)):
+        raise CodecError(f"encode_gcd: unsupported dtype {arr.dtype}")
     signed = arr.dtype == np.int64
     mn = int(arr.min())
     if signed:
@@ -212,6 +214,11 @@ def encode_gcd(arr: np.ndarray) -> bytes | None:
         d = (arr - np.int64(mn)).astype(np.uint64)
     else:
         d = arr - np.uint64(mn)
+    # prefix early-exit: the full gcd divides any subset's gcd, so a
+    # prefix gcd of 1 (the common case — offsets, ids) rejects without
+    # the O(n) elementwise-Euclid pass over the whole array
+    if int(np.gcd.reduce(d[: min(d.size, 64)])) <= 1:
+        return None
     g = int(np.gcd.reduce(d))
     if g <= 1:
         return None

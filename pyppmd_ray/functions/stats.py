@@ -195,12 +195,20 @@ def grouped_outliers(
             np.float64
         )
         d = batch[group_col].combine_chunks().dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null-group rows get code 0 here but are masked out below
+        # (a null index would otherwise become INT64_MIN and crash the
+        # fancy index); like the SQL join, a null group never flags
+        null_grp = np.asarray(pc.is_null(d.indices), dtype=bool)
+        codes = np.asarray(
+            pc.fill_null(d.indices, 0), dtype=np.int64
+        )
         # fence lookup over the (small) per-batch group dictionary only
         fence = [b.get(g, (-np.inf, np.inf)) for g in d.dictionary.to_pylist()]
+        if not fence:  # every row's group is null
+            return sel.slice(0, 0)
         lo = np.array([f[0] for f in fence], dtype=np.float64)[codes]
         hi = np.array([f[1] for f in fence], dtype=np.float64)[codes]
-        keep = (v < lo) | (v > hi)
+        keep = ((v < lo) | (v > hi)) & ~null_grp
         return sel.filter(pa.array(keep))
 
     return ds.map_batches(flag, batch_format="pyarrow")

@@ -438,6 +438,18 @@ class TestFdecCodec:
         v = np.array([0.25, -0.0, 1.5], dtype=np.float64)
         self._roundtrip(v)  # -0.0 must survive bit-for-bit
 
+    def test_negative_zero_in_large_decimal_column(self):
+        # large enough that fdec would WIN on size if it validated: the
+        # int64 payload cannot represent -0.0, so the self-validation
+        # (which replays the int64 cast) must force the fallback
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        v = np.round(rng.uniform(0, 100, 2000), 2)
+        v[1000] = -0.0
+        blob = self._roundtrip(v)
+        assert b"PR\x02\x1b" not in bytes(blob)  # fdec must NOT be chosen
+
     def test_nan_inf_fall_back(self):
         import numpy as np
 

@@ -1501,6 +1501,23 @@ class TestGroupedOutliers:
         out = grouped_outliers(rd.from_arrow(tbl), "g", "v", id_col="doc_id").to_pandas()
         assert out.doc_id.tolist() == [5]
 
+    def test_null_group_rows_never_flagged(self):
+        import ray.data as rd
+
+        from pyppmd_ray.functions.stats import grouped_outliers
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "g": pa.array(["a", "a", "a", "a", None, None], type=pa.string()),
+                "v": pa.array([10, 10, 10, 99, 10**6, 10**6], type=pa.int64()),
+            }
+        )
+        out = grouped_outliers(rd.from_arrow(tbl), "g", "v", id_col="doc_id").to_pandas()
+        # null-group rows are never flagged (SQL join semantics), and
+        # must not crash the dictionary fence lookup
+        assert out.doc_id.tolist() == [4]
+
 
 class TestEmptyInputCollects:
     def test_driver_merge_operators_on_empty_dataset(self):
